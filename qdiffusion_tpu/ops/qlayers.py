@@ -1,0 +1,80 @@
+"""Quantized conv / dense layer application.
+
+Functional equivalents of the reference QuantModule (qdiff/quant_layer.py:
+203-294): fake-quant the input activation and/or the weight, then run the
+underlying op. Split-shortcut support quantizes the two concatenated halves
+of the input channels (and the matching weight column blocks) with
+independent quantizers before a single fused conv — the quantizer pair for
+the second half lives in slots 'w0'/'a0'.
+
+Layouts: activations NHWC (split on axis -1), conv weights HWIO (split on
+axis 2 = input channels), dense weights (in, out) (split on axis 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from qdiffusion_tpu import nn
+from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
+from qdiffusion_tpu.quant.context import QuantCtx
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerQuantConfig:
+    """Static per-layer quantization config."""
+
+    wq: AffineQuantizerSpec
+    aq: AffineQuantizerSpec
+    split: int = 0  # input-channel split point; 0 = no split
+    disable_act_quant: bool = False
+
+
+def _quant_input(ctx: QuantCtx, name: str, x: Array, cfg: LayerQuantConfig):
+    if cfg.disable_act_quant:
+        return x
+    if cfg.split:
+        x0 = ctx.act_quant(name, "a", x[..., : cfg.split], cfg.aq)
+        x1 = ctx.act_quant(name, "a0", x[..., cfg.split :], cfg.aq)
+        return jnp.concatenate([x0, x1], axis=-1)
+    return ctx.act_quant(name, "a", x, cfg.aq)
+
+
+def _quant_weight(ctx: QuantCtx, name: str, w: Array, cfg: LayerQuantConfig,
+                  in_axis: int):
+    if cfg.split:
+        idx0 = [slice(None)] * w.ndim
+        idx1 = [slice(None)] * w.ndim
+        idx0[in_axis] = slice(None, cfg.split)
+        idx1[in_axis] = slice(cfg.split, None)
+        w0 = ctx.weight_quant(name, "w", w[tuple(idx0)], cfg.wq)
+        w1 = ctx.weight_quant(name, "w0", w[tuple(idx1)], cfg.wq)
+        return jnp.concatenate([w0, w1], axis=in_axis)
+    return ctx.weight_quant(name, "w", w, cfg.wq)
+
+
+def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
+            *, stride=1, padding="SAME", feature_group_count: int = 1) -> Array:
+    x = _quant_input(ctx, name, x, cfg)
+    w = _quant_weight(ctx, name, p["w"], cfg, in_axis=2)
+    return nn.conv2d(x, w, p.get("b"), stride=stride, padding=padding,
+                     feature_group_count=feature_group_count)
+
+
+def qconv1d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
+            *, stride=1, padding="SAME") -> Array:
+    x = _quant_input(ctx, name, x, cfg)
+    w = _quant_weight(ctx, name, p["w"], cfg, in_axis=1)
+    return nn.conv1d(x, w, p.get("b"), stride=stride, padding=padding)
+
+
+def qdense(ctx: QuantCtx, name: str, p: dict, x: Array,
+           cfg: LayerQuantConfig) -> Array:
+    x = _quant_input(ctx, name, x, cfg)
+    w = _quant_weight(ctx, name, p["w"], cfg, in_axis=0)
+    return nn.dense(x, w, p.get("b"))

@@ -1,0 +1,129 @@
+"""QuantCtx — the functional replacement for in-place module surgery.
+
+The reference framework rewires a torch model in place (QuantModel,
+qdiff/quant_model.py) and stores quantizer tensors as module attributes. Here
+a model's forward pass is a pure function, and every quantization site calls
+into a `QuantCtx` threaded through it. The ctx dispatches on a static
+`QuantMode`, reads quantizer state from one pytree, and (during calibration
+passes) records freshly-initialized or EMA-updated states into an output
+tree. Each distinct ctx configuration is a separate jit trace; the traced
+computation itself is always static.
+
+Site naming: every quantizable layer has a path-like name (mirroring the
+torch state_dict names for checkpoint parity) and each quantizer at that
+site has a slot: 'w' / 'w0' (weights; '0' = second split half), 'a' / 'a0'
+(input activations), and block-level slots 'q' 'k' 'v' 'sm' for attention
+matmul operands (reference quant_block.py:114-161, 333-386).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from qdiffusion_tpu.quant.adaround import adaround_quant
+from qdiffusion_tpu.quant.affine import (
+    AffineQuantizerSpec,
+    ema_update,
+    fake_quant,
+    init_state,
+)
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantMode:
+    """Static on/off switches (reference set_quant_state semantics)."""
+
+    w: bool = False  # weight fake-quant active
+    a: bool = False  # activation fake-quant active
+    soft: bool = False  # AdaRound soft (training) vs hard (inference) rounding
+
+    @classmethod
+    def off(cls):
+        return cls(False, False)
+
+
+# collect modes
+INIT = "init"  # first-batch scale init for act quantizers
+EMA = "ema"  # running-stat momentum update
+EMA_SM_ONLY = "ema_sm_only"  # update only post-softmax quantizers
+
+
+class QuantCtx:
+    """Threaded through a model forward; handles every quantizer site."""
+
+    def __init__(self, qstate: Optional[dict] = None, mode: QuantMode = QuantMode.off(),
+                 collect: Optional[str] = None, capture: Optional[str] = None):
+        self.qstate: dict = qstate or {}
+        self.mode = mode
+        self.collect = collect
+        self.capture = capture  # block name whose (input, output) to record
+        self.collected: Dict[str, dict] = {}
+        self.captured: dict = {}
+
+    # -- state access ------------------------------------------------------
+
+    def _get(self, name: str, slot: str) -> Optional[dict]:
+        layer = self.qstate.get(name)
+        if layer is None:
+            return None
+        return layer.get(slot)
+
+    def _put(self, name: str, slot: str, st: dict):
+        self.collected.setdefault(name, {})[slot] = st
+
+    # -- quantizer sites -----------------------------------------------------
+
+    def weight_quant(self, name: str, slot: str, w: Array,
+                     spec: AffineQuantizerSpec) -> Array:
+        """Weight quantizer site. AdaRound when the state has an 'alpha' leaf;
+        plain round-to-nearest uniform affine otherwise."""
+        if not self.mode.w:
+            return w
+        st = self._get(name, slot)
+        if st is None:
+            # late init from the weight itself (weights are static, so this
+            # happens at trace time and produces constants).
+            st = init_state(w, spec)
+            self._put(name, slot, st)
+        if "alpha" in st:
+            return adaround_quant(w, st, spec, soft=self.mode.soft)
+        return fake_quant(w, st["delta"], st["zero_point"], spec)
+
+    def act_quant(self, name: str, slot: str, x: Array,
+                  spec: AffineQuantizerSpec) -> Array:
+        """Activation quantizer site.
+
+        collect=INIT: initialize delta/zp from this batch (reference
+        first-forward init, quant_layer.py:68-75) and record it.
+        collect=EMA/EMA_SM_ONLY: momentum-update recorded stats.
+        """
+        if self.collect == INIT:
+            st = self._get(name, slot) or init_state(x, spec)
+            self._put(name, slot, st)
+        elif self.collect in (EMA, EMA_SM_ONLY):
+            st = self._get(name, slot)
+            if st is not None and (self.collect == EMA or slot == "sm"):
+                st = ema_update(st, x, spec)
+                self._put(name, slot, st)
+        else:
+            st = self._get(name, slot)
+        if not self.mode.a:
+            return x
+        if st is None:
+            return x
+        return fake_quant(x, st["delta"], st["zero_point"], spec)
+
+    # -- block capture -------------------------------------------------------
+
+    def capture_io(self, name: str, inp, out):
+        """Record a block's (input, output) when it is the capture target."""
+        if self.capture == name:
+            self.captured[name] = {"inp": inp, "out": out}
+
+    def is_capture_target(self, name: str) -> bool:
+        return self.capture == name
