@@ -1,0 +1,191 @@
+"""End-to-end PTQ calibration driver.
+
+Orchestrates the reference flow (scripts/sample_diffusion_ddim.py:127-236):
+
+  1. weight-quantizer scale init (per-channel min-max / MSE, directly from
+     the weights — the reference does this via a dummy forward);
+  2. per-unit AdaRound weight reconstruction in model order, asymmetric
+     (inputs captured from the already-quantized prefix);
+  3. optional activation pass: first-batch delta init, optional
+     running-stat EMA sweep, then per-unit delta learning.
+
+The calibrated result is a single qstate pytree — checkpoint it with orbax;
+no Parameter promotion (contrast reference resume_cali_model,
+qdiff/utils.py:382-457).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qdiffusion_tpu.calib.capture import capture_unit_io
+from qdiffusion_tpu.calib.recon import ReconConfig, reconstruct_unit
+from qdiffusion_tpu.ops.qlayers import split_weight
+from qdiffusion_tpu.quant.affine import init_state
+from qdiffusion_tpu.quant.context import EMA, EMA_SM_ONLY, INIT, QuantCtx, QuantMode
+
+logger = logging.getLogger(__name__)
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibConfig:
+    weight: ReconConfig = ReconConfig(iters=20000, p=2.0)
+    act: ReconConfig = ReconConfig(iters=5000, lr=4e-4, p=2.4)
+    asym: bool = True
+    quant_act: bool = False
+    running_stat: bool = False
+    rs_sm_only: bool = False  # running stats only for post-softmax quantizers
+    capture_batch: int = 8
+    act_init_batch: int = 64
+    sm_abit: int = 8
+    skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
+
+
+def init_weight_qstate(model, params: dict) -> dict:
+    """Scale-init every weight quantizer from the weights themselves,
+    split-aware (reference first-forward init, quant_layer.py:68-75 +
+    set_split, :285-288)."""
+    from qdiffusion_tpu.models.unet_ddim import _sub
+
+    qstate: dict = {}
+    for name, cfg in model.layer_cfgs.items():
+        w = _sub(params, name)["w"]
+        if cfg.split:
+            w_a, w_b = split_weight(w, cfg.split, cfg.in_axis)
+            qstate[name] = {"w": init_state(w_a, cfg.wq),
+                            "w0": init_state(w_b, cfg.wq)}
+        else:
+            qstate[name] = {"w": init_state(w, cfg.wq)}
+    return qstate
+
+
+def _merge_collected(qstate: dict, collected: dict) -> dict:
+    new = {k: dict(v) for k, v in qstate.items()}
+    for name, slots in collected.items():
+        cur = dict(new.get(name, {}))
+        cur.update(slots)
+        new[name] = cur
+    return new
+
+
+def init_act_qstate(model, params: dict, qstate: dict, xs: Array, ts: Array,
+                    cs: Optional[Array] = None) -> dict:
+    """First-batch activation scale init with weights quantized
+    (reference qnn.set_quant_state(True, True) + one forward over 64
+    samples, sample_diffusion_ddim.py:203-208)."""
+
+    @jax.jit
+    def run(p, q, x, t, c):
+        ctx = QuantCtx(q, mode=QuantMode(w=True, a=True), collect=INIT)
+        if c is None:
+            model.apply(p, x, t, ctx)
+        else:
+            model.apply(p, x, t, ctx, context=c)
+        return ctx.collected
+
+    collected = run(params, qstate, xs, ts, cs)
+    return _merge_collected(qstate, collected)
+
+
+def run_running_stat(model, params: dict, qstate: dict, xs: Array, ts: Array,
+                     cs: Optional[Array] = None, *, batch: int = 64,
+                     sm_only: bool = False) -> dict:
+    """EMA sweep over the calibration set (reference set_running_stat,
+    quant_model.py:71-87)."""
+    collect = EMA_SM_ONLY if sm_only else EMA
+
+    @jax.jit
+    def run(p, q, x, t, c):
+        ctx = QuantCtx(q, mode=QuantMode(w=True, a=True), collect=collect)
+        if c is None:
+            model.apply(p, x, t, ctx)
+        else:
+            model.apply(p, x, t, ctx, context=c)
+        return ctx.collected
+
+    n = xs.shape[0]
+    for i in range(0, n - batch + 1, batch):
+        c = cs[i : i + batch] if cs is not None else None
+        collected = run(params, qstate, xs[i : i + batch], ts[i : i + batch], c)
+        qstate = _merge_collected(qstate, collected)
+    return qstate
+
+
+def calibrate(
+    model,
+    params: dict,
+    cali_data: Tuple[Array, ...],
+    cfg: CalibConfig = CalibConfig(),
+    rng: Optional[jax.Array] = None,
+    qstate: Optional[dict] = None,
+) -> dict:
+    """Full PTQ calibration; returns the calibrated quantizer pytree."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    cali_xs, cali_ts = cali_data[0], cali_data[1]
+    cali_cs = cali_data[2] if len(cali_data) > 2 else None
+
+    if qstate is None:
+        qstate = init_weight_qstate(model, params)
+        logger.info("weight quantizer scales initialized (%d layers)",
+                    len(qstate))
+
+    # ---- weight rounding pass -------------------------------------------
+    for k, unit in enumerate(model.units):
+        if unit.name in cfg.skip_units:
+            logger.info("skip reconstruction of %s", unit.name)
+            continue
+        t0 = time.time()
+        inps, out = capture_unit_io(
+            model, params, qstate, unit.name, cali_xs, cali_ts, cali_cs,
+            asym=cfg.asym, act_quant=False, batch_size=cfg.capture_batch)
+        rng, sub = jax.random.split(rng)
+        qstate = reconstruct_unit(model, params, qstate, unit, inps, out,
+                                  cfg.weight, act_quant=False, rng=sub,
+                                  sm_abit=cfg.sm_abit)
+        jax.block_until_ready(qstate[unit.layer_names[0]]["w"]["delta"])
+        logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
+                    len(model.units), unit.name, time.time() - t0)
+
+    if not cfg.quant_act:
+        return qstate
+
+    # ---- activation pass --------------------------------------------------
+    n_init = min(cfg.act_init_batch, cali_xs.shape[0])
+    rng, sub = jax.random.split(rng)
+    inds = jax.random.choice(sub, cali_xs.shape[0], (n_init,), replace=False)
+    qstate = init_act_qstate(
+        model, params, qstate, jnp.take(cali_xs, inds, axis=0),
+        jnp.take(cali_ts, inds, axis=0),
+        jnp.take(cali_cs, inds, axis=0) if cali_cs is not None else None)
+    logger.info("activation quantizer scales initialized")
+
+    if cfg.running_stat:
+        qstate = run_running_stat(model, params, qstate, cali_xs, cali_ts,
+                                  cali_cs, sm_only=cfg.rs_sm_only)
+        logger.info("running-stat EMA sweep done")
+
+    for k, unit in enumerate(model.units):
+        if unit.name in cfg.skip_units:
+            continue
+        t0 = time.time()
+        inps, out = capture_unit_io(
+            model, params, qstate, unit.name, cali_xs, cali_ts, cali_cs,
+            asym=False, act_quant=True, batch_size=cfg.capture_batch)
+        rng, sub = jax.random.split(rng)
+        qstate = reconstruct_unit(model, params, qstate, unit, inps, out,
+                                  cfg.act, act_quant=True, rng=sub,
+                                  sm_abit=cfg.sm_abit)
+        logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
+                    len(model.units), unit.name, time.time() - t0)
+
+    return qstate

@@ -1,0 +1,213 @@
+"""Block / layer reconstruction: the AdaRound calibration optimizer.
+
+Functional equivalent of reference qdiff/block_recon.py + layer_recon.py:
+per reconstruction unit, Adam minimizes
+
+    L = lp_loss(block_q(inp), out_fp, p)  +  w * sum(1 - |2 h(alpha) - 1|^b)
+
+over AdaRound alphas (weight pass, 20k iters, temperature b linearly
+decayed 20 -> 2 after 20% warmup) or over activation-quantizer deltas (act
+pass, 5k iters, cosine-annealed LR, no rounding term). The reference runs
+20k Python steps per block; here the whole loop is one jitted
+`lax.fori_loop` with the cached (inp, out) tensors resident in HBM, and
+minibatches gathered on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from qdiffusion_tpu.ops.qlayers import split_weight
+from qdiffusion_tpu.quant.adaround import adaround_init_alpha, adaround_soft_targets
+from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+
+Array = jnp.ndarray
+
+ACT_SLOTS = ("a", "a0", "q", "k", "v", "sm")
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconConfig:
+    iters: int = 20000
+    batch_size: int = 32
+    weight: float = 0.01  # rounding-regularizer weight
+    b_start: float = 20.0
+    b_end: float = 2.0
+    warmup: float = 0.2
+    p: float = 2.0  # Lp reconstruction norm (weight pass; act pass uses 2.4)
+    lr: float = 4e-4  # act-delta learning rate
+    alpha_lr: float = 1e-3  # Adam default, used for AdaRound alphas
+
+
+# ---------------------------------------------------------------------------
+# AdaRound state initialization
+# ---------------------------------------------------------------------------
+
+
+def init_adaround_unit(model, params: dict, qstate: dict, unit) -> dict:
+    """Add AdaRound alpha leaves to every weight quantizer in `unit`
+    (reference block_recon.py:47-61: swap UniformAffineQuantizer ->
+    AdaRoundQuantizer, split-aware)."""
+    from qdiffusion_tpu.models.unet_ddim import _sub  # tree access helper
+
+    new = dict(qstate)
+    for lname in unit.layer_names:
+        cfg = model.layer_cfg(lname)
+        w = _sub(params, lname)["w"]
+        lstate = dict(new.get(lname, {}))
+        if cfg.split:
+            w_a, w_b = split_weight(w, cfg.split, cfg.in_axis)
+            for slot, ww in (("w", w_a), ("w0", w_b)):
+                st = dict(lstate[slot])
+                st["alpha"] = adaround_init_alpha(ww, st["delta"])
+                lstate[slot] = st
+        else:
+            st = dict(lstate["w"])
+            st["alpha"] = adaround_init_alpha(w, st["delta"])
+            lstate["w"] = st
+        new[lname] = lstate
+    return new
+
+
+# ---------------------------------------------------------------------------
+# trainable-subtree extraction / merge
+# ---------------------------------------------------------------------------
+
+
+def extract_trainable(qstate: dict, unit, mode: str,
+                      sm_abit: int = 8) -> Dict[str, Dict[str, Array]]:
+    """mode='weight': alpha leaves of the unit's weight quantizers.
+    mode='act': delta leaves of its act quantizers (16-bit post-softmax
+    excluded, reference block_recon.py:87-98)."""
+    train: Dict[str, Dict[str, Array]] = {}
+    sites = list(unit.layer_names) + [unit.name]
+    for site in sites:
+        slots = qstate.get(site)
+        if not slots:
+            continue
+        for slot, st in slots.items():
+            if mode == "weight" and slot in ("w", "w0") and "alpha" in st:
+                train.setdefault(site, {})[slot] = st["alpha"]
+            elif mode == "act" and slot in ACT_SLOTS:
+                if slot == "sm" and sm_abit == 16:
+                    continue
+                train.setdefault(site, {})[slot] = st["delta"]
+    return train
+
+
+def merge_trainable(qstate: dict, train: dict, mode: str) -> dict:
+    key = "alpha" if mode == "weight" else "delta"
+    new = {k: dict(v) for k, v in qstate.items()}
+    for site, slots in train.items():
+        for slot, val in slots.items():
+            st = dict(new[site][slot])
+            st[key] = val
+            new[site][slot] = st
+    return new
+
+
+# ---------------------------------------------------------------------------
+# temperature decay (reference LinearTempDecay, block_recon.py:235-252)
+# ---------------------------------------------------------------------------
+
+
+def temp_decay(t: Array, t_max: float, warmup: float, start_b: float,
+               end_b: float) -> Array:
+    start_decay = warmup * t_max
+    rel_t = (t - start_decay) / (t_max - start_decay)
+    decayed = end_b + (start_b - end_b) * jnp.maximum(0.0, 1.0 - rel_t)
+    return jnp.where(t < start_decay, start_b, decayed)
+
+
+# ---------------------------------------------------------------------------
+# reconstruction loop
+# ---------------------------------------------------------------------------
+
+
+def reconstruct_unit(
+    model,
+    params: dict,
+    qstate: dict,
+    unit,
+    cached_inps: Tuple[Array, ...],
+    cached_out: Array,
+    cfg: ReconConfig,
+    *,
+    act_quant: bool = False,
+    rng: Optional[jax.Array] = None,
+    sm_abit: int = 8,
+) -> dict:
+    """Optimize the unit's rounding (act_quant=False) or act deltas
+    (act_quant=True); returns the updated full qstate."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    mode = "act" if act_quant else "weight"
+
+    if not act_quant:
+        qstate = init_adaround_unit(model, params, qstate, unit)
+    train0 = extract_trainable(qstate, unit, mode, sm_abit=sm_abit)
+    if not train0:
+        return qstate
+
+    n = cached_out.shape[0]
+    loss_axis = getattr(unit, "loss_axis", -1)
+    p_norm = cfg.p
+    fwd_mode = QuantMode(w=True, a=act_quant, soft=not act_quant)
+
+    if act_quant:
+        sched = optax.cosine_decay_schedule(cfg.lr, cfg.iters, alpha=0.0)
+        opt = optax.adam(sched)
+    else:
+        opt = optax.adam(cfg.alpha_lr)
+
+    def loss_fn(train, b_x, b_t_aux, b_out, b_temp, count):
+        q = merge_trainable(qstate, train, mode)
+        ctx = QuantCtx(q, mode=fwd_mode)
+        inps = (b_x,) if b_t_aux is None else (b_x, b_t_aux)
+        pred = unit.apply(params, ctx, *inps)
+        err = jnp.abs(pred - b_out) ** p_norm
+        rec = jnp.mean(jnp.sum(err, axis=loss_axis))
+        if act_quant:
+            return rec
+        round_loss = 0.0
+        for site, slots in train.items():
+            for slot, alpha in slots.items():
+                h = adaround_soft_targets(alpha)
+                round_loss = round_loss + cfg.weight * jnp.sum(
+                    1.0 - jnp.abs(2.0 * h - 1.0) ** b_temp)
+        # no rounding penalty during warmup (block_recon.py:217-218)
+        round_loss = jnp.where(count < cfg.warmup * cfg.iters, 0.0, round_loss)
+        return rec + round_loss
+
+    grad_fn = jax.grad(loss_fn)
+    two_inputs = len(cached_inps) > 1
+
+    @jax.jit
+    def run(train0, inps, out, key):
+        def body(i, carry):
+            train, opt_state, k = carry
+            key_i = jax.random.fold_in(k, i)
+            idx = jax.random.randint(key_i, (cfg.batch_size,), 0, n)
+            b_x = jnp.take(inps[0], idx, axis=0)
+            b_aux = jnp.take(inps[1], idx, axis=0) if two_inputs else None
+            b_out = jnp.take(out, idx, axis=0)
+            b_temp = temp_decay(i + 1.0, cfg.iters, cfg.warmup, cfg.b_start,
+                                cfg.b_end)
+            grads = grad_fn(train, b_x, b_aux, b_out, b_temp, i + 1.0)
+            updates, opt_state = opt.update(grads, opt_state, train)
+            train = optax.apply_updates(train, updates)
+            return (train, opt_state, k)
+
+        opt_state = opt.init(train0)
+        train, _, _ = jax.lax.fori_loop(
+            0, cfg.iters, body, (train0, opt_state, key))
+        return train
+
+    train_final = run(train0, cached_inps, cached_out, rng)
+    return merge_trainable(qstate, train_final, mode)

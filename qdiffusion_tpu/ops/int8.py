@@ -1,0 +1,211 @@
+"""Real integer (int8-carrier) inference kernels.
+
+The reference only *simulates* quantization in fp32 (fake-quant forward,
+qdiff/quant_layer.py:66-89). Here the deployed path runs the MXU in int8:
+
+    y = dx * dw[o] * conv_int32(x_q - zpx, w_q - zpw) + b
+
+with both operands recentred to the signed int8 range:
+
+    x_c = x_q - 128 (asym 8-bit acts)   cx = 128 - zpx
+    w_c = w_q - 2^(b-1)                 cw[o] = 2^(b-1) - zpw[o]
+
+    (x_c + cx) . (w_c + cw) = x_c.w_c + cw*S(x_c) + cx*sum(w_c) + cx*cw*K
+
+S(x_c) is the per-window channel-sum of x_c (one cheap reduce + box sum),
+sum(w_c) is static per out-channel. Zero padding in the fake-quant domain
+corresponds to padding x_c with (zpx - 128), done explicitly before a VALID
+conv. The result is bit-exact with the fake-quant simulation (int32
+accumulation is exact; only the final scale is floating point).
+
+Weights are packed once post-calibration (AdaRound hard rounding baked into
+the int tensor); activations are quantized on the VPU per call with the
+calibrated static (delta, zero_point).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qdiffusion_tpu.ops.qlayers import LayerQuantConfig, split_weight
+from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass
+class PackedSegment:
+    """One input-channel segment of a packed integer weight."""
+
+    w_c: Array  # int8, recentred integer weight
+    dw: Array  # per-out-channel scale (broadcastable)
+    cw: Array  # per-out-channel recentre correction (f32)
+    wsum: Array  # sum of w_c over all non-out axes, per out-channel (f32)
+    k_elems: int  # reduction size (kernel spatial * in-channels)
+    a_delta: Array  # act quantizer delta (scalar)
+    a_zp: Array  # act quantizer zero point (scalar)
+    a_spec: AffineQuantizerSpec
+
+
+@dataclasses.dataclass
+class PackedWeight:
+    segments: List[PackedSegment]
+    bias: Optional[Array]
+
+
+def weight_int_values(w: Array, st: dict, spec: AffineQuantizerSpec) -> Array:
+    """Integer grid values of a calibrated weight quantizer (AdaRound hard
+    rounding when alpha present, nearest otherwise). Float array of ints in
+    [0, n_levels-1] (asym) / [-n-1, n] (sym)."""
+    delta, zp = st["delta"], st["zero_point"]
+    if "alpha" in st:
+        w_int = jnp.floor(w / delta) + (st["alpha"] >= 0).astype(w.dtype)
+    else:
+        w_int = jnp.round(w / delta)
+    if spec.symmetric:
+        return jnp.clip(w_int + zp, -spec.n_levels - 1, spec.n_levels)
+    return jnp.clip(w_int + zp, 0, spec.n_levels - 1)
+
+
+def _pack_segment(w: Array, wst: dict, ast: dict, cfg: LayerQuantConfig,
+                  out_axis: int) -> PackedSegment:
+    spec = cfg.wq
+    wq = weight_int_values(w, wst, spec)
+    center = 0.0 if spec.symmetric else float(2 ** (spec.n_bits - 1))
+    w_c = (wq - center).astype(jnp.int8)
+    red_axes = tuple(a for a in range(w.ndim) if a != out_axis % w.ndim)
+    wsum = jnp.sum(w_c.astype(jnp.float32), axis=red_axes)
+    k_elems = int(np.prod([w.shape[a] for a in red_axes]))
+
+    n_out = w.shape[out_axis]
+
+    def per_channel(a):  # scalar or (1,..,O,..) -> (O,) f32
+        a = jnp.asarray(a, jnp.float32).reshape(-1)
+        return jnp.broadcast_to(a, (n_out,)) if a.size == 1 else a
+
+    dw_vec = per_channel(wst["delta"])
+    cw_vec = per_channel(center - jnp.asarray(wst["zero_point"], jnp.float32))
+    return PackedSegment(
+        w_c=w_c, dw=dw_vec, cw=cw_vec, wsum=wsum.reshape(-1),
+        k_elems=k_elems,
+        a_delta=jnp.asarray(ast["delta"], jnp.float32),
+        a_zp=jnp.asarray(ast["zero_point"], jnp.float32),
+        a_spec=cfg.aq)
+
+
+def pack_layer(p: dict, lstate: dict, cfg: LayerQuantConfig) -> PackedWeight:
+    """Pack a calibrated conv/dense layer for integer inference."""
+    w = p["w"]
+    out_axis = w.ndim - 1  # HWIO / (in,out) / LIO: out channels last
+    segments = []
+    if cfg.split:
+        w_a, w_b = split_weight(w, cfg.split, cfg.in_axis)
+        segments.append(_pack_segment(w_a, lstate["w"], lstate["a"], cfg, out_axis))
+        segments.append(_pack_segment(w_b, lstate["w0"], lstate["a0"], cfg, out_axis))
+    else:
+        segments.append(_pack_segment(w, lstate["w"], lstate["a"], cfg, out_axis))
+    return PackedWeight(segments=segments, bias=p.get("b"))
+
+
+def quantize_act(x: Array, seg: PackedSegment) -> Tuple[Array, Array]:
+    """f32 activations -> (x_c int8, cx). Matches fake_quant clamping."""
+    spec = seg.a_spec
+    n_levels = spec.n_levels
+    x_int = jnp.round(x / seg.a_delta) + seg.a_zp
+    if spec.symmetric:
+        x_q = jnp.clip(x_int, -n_levels - 1, n_levels)
+        center = 0.0
+    else:
+        x_q = jnp.clip(x_int, 0, n_levels - 1)
+        center = float(2 ** (spec.n_bits - 1))
+    x_c = (x_q - center).astype(jnp.int8)
+    cx = center - seg.a_zp  # scalar f32
+    return x_c, cx
+
+
+def _pad_amounts(padding: Union[str, int], k: Tuple[int, int],
+                 stride: Tuple[int, int], shape) -> List[Tuple[int, int]]:
+    if isinstance(padding, int):
+        return [(padding, padding), (padding, padding)]
+    if padding == "VALID":
+        return [(0, 0), (0, 0)]
+    if padding == "SAME":
+        out = []
+        for dim, kk, s in zip(shape, k, stride):
+            o = -(-dim // s)
+            total = max(0, (o - 1) * s + kk - dim)
+            out.append((total // 2, total - total // 2))
+        return out
+    return list(padding)
+
+
+def int8_conv2d(x: Array, packed: PackedWeight, *, stride=1,
+                padding: Union[str, int] = "SAME") -> Array:
+    """Integer conv2d matching qconv2d's fake-quant semantics bit-exactly."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    split_points = np.cumsum([s.w_c.shape[2] for s in packed.segments])[:-1]
+    xs = jnp.split(x, split_points, axis=-1) if len(packed.segments) > 1 else [x]
+    acc = None
+    for seg, xseg in zip(packed.segments, xs):
+        kh, kw = seg.w_c.shape[0], seg.w_c.shape[1]
+        pads = _pad_amounts(padding, (kh, kw), stride, xseg.shape[1:3])
+        x_c, cx = quantize_act(xseg, seg)
+        # pad in the integer domain with the value representing f32 zero —
+        # clamped to the grid exactly like fake_quant clamps a zero input
+        # (zero_point may fall outside [0, n_levels-1] for one-sided ranges)
+        if seg.a_spec.symmetric:
+            pad_val = jnp.zeros((), jnp.float32)
+        else:
+            n_lv = seg.a_spec.n_levels
+            pad_val = (jnp.clip(seg.a_zp, 0, n_lv - 1)
+                       - 2 ** (seg.a_spec.n_bits - 1))
+        pad_val_i8 = pad_val.astype(jnp.int8)
+        needs_pad = any(p != (0, 0) for p in pads)
+        if needs_pad:
+            x_c = jax.lax.pad(x_c, pad_val_i8,
+                              [(0, 0, 0)] + [(p[0], p[1], 0) for p in pads]
+                              + [(0, 0, 0)])
+        y_int = jax.lax.conv_general_dilated(
+            x_c, seg.w_c, stride, "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        # correction terms
+        csum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
+        s_win = jax.lax.reduce_window(
+            csum, 0.0, jax.lax.add, (1, kh, kw, 1),
+            (1, stride[0], stride[1], 1), "VALID")
+        y = (y_int
+             + seg.cw[None, None, None, :] * s_win
+             + cx * seg.wsum[None, None, None, :]
+             + cx * seg.cw[None, None, None, :] * seg.k_elems)
+        y = y * (seg.a_delta * seg.dw[None, None, None, :])
+        acc = y if acc is None else acc + y
+    if packed.bias is not None:
+        acc = acc + packed.bias
+    return acc
+
+
+def int8_dense(x: Array, packed: PackedWeight) -> Array:
+    """Integer dense matching qdense's fake-quant semantics."""
+    split_points = np.cumsum([s.w_c.shape[0] for s in packed.segments])[:-1]
+    xs = jnp.split(x, split_points, axis=-1) if len(packed.segments) > 1 else [x]
+    acc = None
+    for seg, xseg in zip(packed.segments, xs):
+        x_c, cx = quantize_act(xseg, seg)
+        y_int = jax.lax.dot_general(
+            x_c, seg.w_c, (((x_c.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        ssum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
+        y = (y_int + seg.cw * ssum + cx * seg.wsum
+             + cx * seg.cw * seg.k_elems)
+        y = y * (seg.a_delta * seg.dw)
+        acc = y if acc is None else acc + y
+    if packed.bias is not None:
+        acc = acc + packed.bias
+    return acc

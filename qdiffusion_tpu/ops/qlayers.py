@@ -33,6 +33,8 @@ class LayerQuantConfig:
     aq: AffineQuantizerSpec
     split: int = 0  # input-channel split point; 0 = no split
     disable_act_quant: bool = False
+    in_axis: int = 2  # weight axis holding input channels (HWIO conv2d: 2,
+    #                   dense (in,out): 0, conv1d LIO: 1)
 
 
 def _quant_input(ctx: QuantCtx, name: str, x: Array, cfg: LayerQuantConfig):
@@ -43,6 +45,15 @@ def _quant_input(ctx: QuantCtx, name: str, x: Array, cfg: LayerQuantConfig):
         x1 = ctx.act_quant(name, "a0", x[..., cfg.split :], cfg.aq)
         return jnp.concatenate([x0, x1], axis=-1)
     return ctx.act_quant(name, "a", x, cfg.aq)
+
+
+def split_weight(w: Array, split: int, in_axis: int):
+    """Split a weight into its two input-channel column blocks."""
+    idx0 = [slice(None)] * w.ndim
+    idx1 = [slice(None)] * w.ndim
+    idx0[in_axis] = slice(None, split)
+    idx1[in_axis] = slice(split, None)
+    return w[tuple(idx0)], w[tuple(idx1)]
 
 
 def _quant_weight(ctx: QuantCtx, name: str, w: Array, cfg: LayerQuantConfig,
@@ -60,6 +71,10 @@ def _quant_weight(ctx: QuantCtx, name: str, w: Array, cfg: LayerQuantConfig,
 
 def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
             *, stride=1, padding="SAME", feature_group_count: int = 1) -> Array:
+    if ctx.engine == "int8" and name in ctx.packed:
+        from qdiffusion_tpu.ops.int8 import int8_conv2d
+
+        return int8_conv2d(x, ctx.packed[name], stride=stride, padding=padding)
     x = _quant_input(ctx, name, x, cfg)
     w = _quant_weight(ctx, name, p["w"], cfg, in_axis=2)
     return nn.conv2d(x, w, p.get("b"), stride=stride, padding=padding,
@@ -75,6 +90,10 @@ def qconv1d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
 
 def qdense(ctx: QuantCtx, name: str, p: dict, x: Array,
            cfg: LayerQuantConfig) -> Array:
+    if ctx.engine == "int8" and name in ctx.packed:
+        from qdiffusion_tpu.ops.int8 import int8_dense
+
+        return int8_dense(x, ctx.packed[name])
     x = _quant_input(ctx, name, x, cfg)
     w = _quant_weight(ctx, name, p["w"], cfg, in_axis=0)
     return nn.dense(x, w, p.get("b"))

@@ -57,13 +57,20 @@ class QuantCtx:
     """Threaded through a model forward; handles every quantizer site."""
 
     def __init__(self, qstate: Optional[dict] = None, mode: QuantMode = QuantMode.off(),
-                 collect: Optional[str] = None, capture: Optional[str] = None):
+                 collect: Optional[str] = None, capture: Optional[str] = None,
+                 engine: str = "sim", packed: Optional[dict] = None):
         self.qstate: dict = qstate or {}
         self.mode = mode
         self.collect = collect
         self.capture = capture  # block name whose (input, output) to record
         self.collected: Dict[str, dict] = {}
         self.captured: dict = {}
+        # engine='sim': fake-quant simulation (calibration-time).
+        # engine='int8': deployed integer kernels; `packed` maps layer name
+        # -> PackedWeight (ops/int8.py). Layers without an entry fall back
+        # to simulation.
+        self.engine = engine
+        self.packed: dict = packed or {}
 
     # -- state access ------------------------------------------------------
 

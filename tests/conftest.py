@@ -1,15 +1,21 @@
 """Test configuration: run on an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to expose 8 virtual devices (the standard JAX recipe).
+platform to expose 8 virtual devices (the standard JAX recipe). Note: the
+environment pre-imports jax via sitecustomize, so env vars alone are too
+late — jax.config.update is required.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
