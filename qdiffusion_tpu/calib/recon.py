@@ -86,7 +86,8 @@ def extract_trainable(qstate: dict, unit, mode: str,
     mode='act': delta leaves of its act quantizers (16-bit post-softmax
     excluded, reference block_recon.py:87-98)."""
     train: Dict[str, Dict[str, Array]] = {}
-    sites = list(unit.layer_names) + [unit.name]
+    sites = (list(unit.layer_names) + [unit.name]
+             + list(getattr(unit, "extra_sites", [])))
     for site in sites:
         slots = qstate.get(site)
         if not slots:

@@ -320,7 +320,7 @@ class DDIMUNet:
         cfg = self.cfg
         u = self._unit_apply_map(params, ctx)
 
-        temb = nn.timestep_embedding(t, cfg.ch)
+        temb = nn.timestep_embedding(t, cfg.ch).astype(x.dtype)
         temb = self._unit_call(ctx, "temb.dense.0", u["temb.dense.0"], temb)
         temb = nn.swish(temb)
         temb = self._unit_call(ctx, "temb.dense.1", u["temb.dense.1"], temb)

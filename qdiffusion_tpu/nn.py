@@ -27,6 +27,8 @@ def conv2d(x: Array, w: Array, b: Optional[Array] = None, *,
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -43,6 +45,8 @@ def conv1d(x: Array, w: Array, b: Optional[Array] = None, *,
     """1D convolution, NLC x LIO -> NLC."""
     if isinstance(padding, int):
         padding = [(padding, padding)]
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
@@ -55,6 +59,8 @@ def conv1d(x: Array, w: Array, b: Optional[Array] = None, *,
 
 def dense(x: Array, w: Array, b: Optional[Array] = None) -> Array:
     """Affine map over the last axis; w is (in, out)."""
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     y = jnp.dot(x, w, preferred_element_type=x.dtype)
     if b is not None:
         y = y + b

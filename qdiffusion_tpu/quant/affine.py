@@ -134,7 +134,10 @@ def _mse_scale(x2d: jnp.ndarray, spec: AffineQuantizerSpec):
         zp_c = jnp.zeros_like(delta_c)
     else:
         delta_c = (new_max - new_min) / (2**n_bits - 1)
-        zp_c = jnp.round(-new_min / delta_c)
+        zp_c = jnp.round(-new_min / jnp.maximum(delta_c, 1e-12))
+    # guard all-zero tensors (e.g. zero-initialized output convs): the
+    # reference would divide by zero here; clamp like its 'max' branch.
+    delta_c = jnp.maximum(delta_c, 1e-8)
 
     # candidate fake-quant: clamp [0, n_levels-1] (reference quantize()).
     xq = jnp.round(x2d[:, None, :] / delta_c[:, :, None])  # (C, 80, N)
