@@ -127,12 +127,25 @@ def calibrate(
     cfg: CalibConfig = CalibConfig(),
     rng: Optional[jax.Array] = None,
     qstate: Optional[dict] = None,
+    checkpointer=None,
 ) -> dict:
-    """Full PTQ calibration; returns the calibrated quantizer pytree."""
+    """Full PTQ calibration; returns the calibrated quantizer pytree.
+
+    checkpointer: optional utils.checkpoints.CalibCheckpointer — snapshots
+    qstate after every unit and resumes a crashed run (reference
+    mid-calibration temp ckpts, txt2img.py:422-428)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     cali_xs, cali_ts = cali_data[0], cali_data[1]
     cali_cs = cali_data[2] if len(cali_data) > 2 else None
+
+    start_phase, start_idx = "weight", 0
+    if checkpointer is not None:
+        saved_qstate, progress = checkpointer.load()
+        if saved_qstate is not None:
+            qstate = saved_qstate
+            start_phase = progress["phase"]
+            start_idx = progress["unit_idx"] + 1
 
     if qstate is None:
         qstate = init_weight_qstate(model, params)
@@ -141,7 +154,9 @@ def calibrate(
 
     # ---- weight rounding pass -------------------------------------------
     for k, unit in enumerate(model.units):
-        if unit.name in cfg.skip_units:
+        if start_phase != "weight" or k < start_idx:
+            continue
+        if unit.name in cfg.skip_units or not unit.layer_names:
             logger.info("skip reconstruction of %s", unit.name)
             continue
         t0 = time.time()
@@ -155,27 +170,36 @@ def calibrate(
         jax.block_until_ready(qstate[unit.layer_names[0]]["w"]["delta"])
         logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
                     len(model.units), unit.name, time.time() - t0)
+        if checkpointer is not None:
+            checkpointer.save(qstate, "weight", k)
+    if start_phase == "weight":
+        start_idx = 0
 
     if not cfg.quant_act:
+        if checkpointer is not None:
+            checkpointer.finalize(qstate)
         return qstate
 
     # ---- activation pass --------------------------------------------------
-    n_init = min(cfg.act_init_batch, cali_xs.shape[0])
-    rng, sub = jax.random.split(rng)
-    inds = jax.random.choice(sub, cali_xs.shape[0], (n_init,), replace=False)
-    qstate = init_act_qstate(
-        model, params, qstate, jnp.take(cali_xs, inds, axis=0),
-        jnp.take(cali_ts, inds, axis=0),
-        jnp.take(cali_cs, inds, axis=0) if cali_cs is not None else None)
-    logger.info("activation quantizer scales initialized")
+    if start_phase == "weight":
+        n_init = min(cfg.act_init_batch, cali_xs.shape[0])
+        rng, sub = jax.random.split(rng)
+        inds = jax.random.choice(sub, cali_xs.shape[0], (n_init,),
+                                 replace=False)
+        qstate = init_act_qstate(
+            model, params, qstate, jnp.take(cali_xs, inds, axis=0),
+            jnp.take(cali_ts, inds, axis=0),
+            jnp.take(cali_cs, inds, axis=0) if cali_cs is not None else None)
+        logger.info("activation quantizer scales initialized")
 
-    if cfg.running_stat:
-        qstate = run_running_stat(model, params, qstate, cali_xs, cali_ts,
-                                  cali_cs, sm_only=cfg.rs_sm_only)
-        logger.info("running-stat EMA sweep done")
+        if cfg.running_stat:
+            qstate = run_running_stat(model, params, qstate, cali_xs, cali_ts,
+                                      cali_cs, sm_only=cfg.rs_sm_only)
+            logger.info("running-stat EMA sweep done")
+        start_idx = 0
 
     for k, unit in enumerate(model.units):
-        if unit.name in cfg.skip_units:
+        if k < start_idx or unit.name in cfg.skip_units:
             continue
         t0 = time.time()
         inps, out = capture_unit_io(
@@ -187,5 +211,9 @@ def calibrate(
                                   sm_abit=cfg.sm_abit)
         logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
                     len(model.units), unit.name, time.time() - t0)
+        if checkpointer is not None:
+            checkpointer.save(qstate, "act", k)
 
+    if checkpointer is not None:
+        checkpointer.finalize(qstate)
     return qstate

@@ -1,0 +1,313 @@
+"""Command-line entry point.
+
+One CLI with subcommands replaces the reference's three scripts
+(scripts/sample_diffusion_ddim.py, sample_diffusion_ldm.py, txt2img.py):
+
+  python -m qdiffusion_tpu.cli make-cali-data --task cifar10 --ckpt fp.ckpt ...
+  python -m qdiffusion_tpu.cli calibrate --task cifar10 --ckpt fp.ckpt \
+      --cali-data traj.npz --weight-bit 4 --quant-act --act-bit 8 --split
+  python -m qdiffusion_tpu.cli sample --task cifar10 --ckpt fp.ckpt \
+      --qstate logs/.../qstate.npz --n 50000 --engine int8 --out samples/
+  python -m qdiffusion_tpu.cli bench
+
+FP checkpoints are the reference's torch files (auto-converted) or
+previously saved npz pytrees. Calibrated quantizer state is one npz pytree.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("qdiffusion_tpu.cli")
+
+
+def build_model_and_pipeline(task, qflags=None, act_quant=False):
+    import jax.numpy as jnp
+
+    from qdiffusion_tpu.config import PRESETS
+    from qdiffusion_tpu.models.unet_ddim import DDIMUNet
+    from qdiffusion_tpu.models.unet_ldm import LDMUNet
+    from qdiffusion_tpu.models.vae import VAE
+    from qdiffusion_tpu.models.clip_text import CLIPTextEncoder
+    from qdiffusion_tpu.pipelines import (
+        LatentDiffusionPipeline,
+        PixelDiffusionPipeline,
+    )
+    from qdiffusion_tpu.schedules import NoiseSchedule
+
+    if task.schedule.kind == "ddpm":
+        sched = NoiseSchedule.ddpm(task.schedule.beta_schedule,
+                                   task.schedule.beta_start,
+                                   task.schedule.beta_end,
+                                   task.schedule.num_timesteps)
+    else:
+        sched = NoiseSchedule.ldm(task.schedule.beta_schedule,
+                                  task.schedule.num_timesteps,
+                                  task.schedule.beta_start,
+                                  task.schedule.beta_end)
+
+    if task.family == "pixel":
+        cfg = task.unet_ddim
+        if qflags is not None and qflags.split:
+            cfg = dataclasses.replace(cfg, split_shortcut=True)
+        policy = qflags.policy_ddim() if qflags else None
+        model = DDIMUNet(cfg, policy)
+        return model, PixelDiffusionPipeline(model, sched)
+
+    cfg = task.unet_ldm
+    if qflags is not None and qflags.split:
+        cfg = dataclasses.replace(cfg, split_shortcut=True)
+    policy = qflags.policy_ldm() if qflags else None
+    model = LDMUNet(cfg, policy, act_quant_partition=act_quant)
+    vae = VAE(task.vae)
+    text = CLIPTextEncoder() if task.family == "sd" else None
+    pipe = LatentDiffusionPipeline(
+        unet=model, vae=vae, schedule=sched,
+        scale_factor=task.scale_factor,
+        conditioning_key=task.conditioning_key, text_encoder=text)
+    return model, pipe
+
+
+def load_fp_params(path: str, task, model):
+    """Load FP UNet params from torch ckpt or saved npz pytree."""
+    from qdiffusion_tpu.models.torch_import import state_dict_to_pytree
+    from qdiffusion_tpu.utils.checkpoints import load_torch_checkpoint
+
+    path = Path(path)
+    if path.suffix in (".pt", ".pth", ".ckpt"):
+        subtree = ("model.diffusion_model."
+                   if task.family in ("ldm", "sd") else None)
+        sd = load_torch_checkpoint(path, subtree=subtree)
+        return state_dict_to_pytree(sd)
+    if path.suffix == ".npz":
+        from qdiffusion_tpu.utils.checkpoints import load_pytree
+        import jax
+
+        like = model.init_params(jax.random.PRNGKey(0))
+        return load_pytree(path, like)
+    raise ValueError(f"unknown checkpoint format: {path}")
+
+
+def cmd_make_cali_data(args):
+    import jax
+
+    from qdiffusion_tpu.config import PRESETS
+    from qdiffusion_tpu.utils.run_logging import setup_run_dir
+
+    task = PRESETS[args.task]
+    model, pipe = build_model_and_pipeline(task)
+    params = (load_fp_params(args.ckpt, task, model) if args.ckpt
+              else model.init_params(jax.random.PRNGKey(0)))
+    rng = jax.random.PRNGKey(args.seed)
+    if task.family == "pixel":
+        _, traj = pipe.sample(
+            params, args.n, timesteps=args.timesteps or task.sampler.timesteps,
+            skip_type=task.sampler.skip_type, eta=task.sampler.eta,
+            image_size=task.image_size, channels=task.channels, rng=rng,
+            return_trajectory=True)
+    else:
+        vae_params = None  # latents only; no decode needed
+        _, traj = pipe.sample(
+            params, None, args.n,
+            sampler=task.sampler.sample_type
+            if task.sampler.sample_type in ("ddim", "plms") else "ddim",
+            steps=args.timesteps or task.sampler.timesteps,
+            eta=task.sampler.eta, latent_size=task.latent_size,
+            latent_channels=task.latent_channels, rng=rng, decode=False,
+            return_trajectory=True)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, **{k: np.asarray(v) for k, v in traj.items()})
+    print(f"saved trajectory {[(k, np.asarray(v).shape) for k, v in traj.items()]} -> {out}")
+
+
+def cmd_calibrate(args):
+    import jax
+
+    from qdiffusion_tpu.calib.engine import calibrate
+    from qdiffusion_tpu.calib.samples import get_train_samples
+    from qdiffusion_tpu.config import PRESETS, QuantFlags
+    from qdiffusion_tpu.utils.checkpoints import CalibCheckpointer
+    from qdiffusion_tpu.utils.run_logging import dump_config, setup_run_dir
+
+    qflags = QuantFlags(
+        weight_bit=args.weight_bit, quant_act=args.quant_act,
+        act_bit=args.act_bit, a_sym=args.a_sym, sm_abit=args.sm_abit,
+        split=args.split, running_stat=args.running_stat,
+        cali_st=args.cali_st, cali_n=args.cali_n,
+        cali_batch_size=args.cali_batch_size, cali_iters=args.cali_iters,
+        cali_iters_a=args.cali_iters_a, cali_lr=args.cali_lr,
+        cali_p=args.cali_p)
+    task = PRESETS[args.task]
+    run_dir = setup_run_dir(args.logdir, f"calib-{args.task}")
+    dump_config(run_dir, {"task": task, "quant": qflags, "argv": sys.argv})
+
+    model, pipe = build_model_and_pipeline(task, qflags, args.quant_act)
+    params = (load_fp_params(args.ckpt, task, model) if args.ckpt
+              else model.init_params(jax.random.PRNGKey(0)))
+
+    import jax.numpy as jnp
+
+    data = np.load(args.cali_data)
+    traj = {k: jnp.asarray(data[k]) for k in data.files}
+    cali = get_train_samples(traj, qflags.cali_n, qflags.cali_st,
+                             cond=task.family == "sd")
+    logger.info("calibration data: %s", [tuple(c.shape) for c in cali])
+
+    ckptr = CalibCheckpointer(run_dir)
+    qstate = calibrate(model, params, cali, qflags.calib_config(),
+                       rng=jax.random.PRNGKey(args.seed), checkpointer=ckptr)
+    print(f"calibrated quantizer state -> {run_dir / 'qstate.npz'}")
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+
+    from qdiffusion_tpu.config import PRESETS, QuantFlags
+    from qdiffusion_tpu.deploy import make_quantized_step
+    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+    from qdiffusion_tpu.utils.checkpoints import load_qstate
+    from qdiffusion_tpu.utils.run_logging import (
+        Throughput,
+        save_images_png,
+        setup_run_dir,
+    )
+
+    task = PRESETS[args.task]
+    qflags = QuantFlags(weight_bit=args.weight_bit, quant_act=args.quant_act,
+                        act_bit=args.act_bit, a_sym=args.a_sym,
+                        sm_abit=args.sm_abit, split=args.split) \
+        if args.qstate else None
+    model, pipe = build_model_and_pipeline(task, qflags, args.quant_act)
+    params = (load_fp_params(args.ckpt, task, model) if args.ckpt
+              else model.init_params(jax.random.PRNGKey(0)))
+
+    qstate, mode, model_fn = None, None, None
+    if args.qstate:
+        qstate = load_qstate(args.qstate)
+        mode = QuantMode(w=True, a=args.quant_act, soft=False)
+        if args.engine == "int8" and args.quant_act:
+            step = make_quantized_step(model, params, qstate, engine="int8")
+            if task.family == "pixel":
+                model_fn = step
+            else:
+                model_fn = lambda x, t, c=None: step(x, t, *(
+                    (c,) if c is not None else ()))
+        elif args.engine == "fold" and not args.quant_act:
+            from qdiffusion_tpu.deploy import fold_weights
+
+            params = fold_weights(model, params, qstate)
+            qstate, mode = None, None
+
+    out_dir = Path(args.out)
+    rng = jax.random.PRNGKey(args.seed)
+    batch = args.batch
+    idx = 0
+    tput = Throughput()
+    while idx < args.n:
+        n = min(batch, args.n - idx)
+        rng, sub = jax.random.split(rng)
+        if task.family == "pixel":
+            x, _ = pipe.sample(params, n,
+                               timesteps=args.timesteps or task.sampler.timesteps,
+                               skip_type=task.sampler.skip_type,
+                               eta=task.sampler.eta,
+                               image_size=task.image_size,
+                               channels=task.channels, rng=sub,
+                               qstate=qstate, mode=mode, model_fn=model_fn)
+            imgs = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        else:
+            vae_params = load_vae_params(args, task)
+            imgs, _ = pipe.sample(
+                params, vae_params, n,
+                sampler=args.sampler or task.sampler.sample_type,
+                steps=args.timesteps or task.sampler.timesteps,
+                eta=task.sampler.eta, latent_size=task.latent_size,
+                latent_channels=task.latent_channels, rng=sub,
+                guidance_scale=task.sampler.guidance_scale,
+                qstate=qstate, mode=mode, model_fn=model_fn)
+        tput.log(n)
+        idx = save_images_png(imgs, out_dir, idx)
+    print(f"wrote {idx} images to {out_dir}")
+
+
+def load_vae_params(args, task):
+    from qdiffusion_tpu.models.torch_import import state_dict_to_pytree
+    from qdiffusion_tpu.utils.checkpoints import load_torch_checkpoint
+
+    if not getattr(args, "vae_ckpt", None):
+        raise SystemExit("--vae-ckpt required for latent-space tasks")
+    sd = load_torch_checkpoint(args.vae_ckpt, subtree="first_stage_model.")
+    if not sd:
+        sd = load_torch_checkpoint(args.vae_ckpt)
+    return state_dict_to_pytree(sd)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="qdiffusion_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_quant_flags(sp):
+        sp.add_argument("--weight-bit", type=int, default=8)
+        sp.add_argument("--quant-act", action="store_true")
+        sp.add_argument("--act-bit", type=int, default=8)
+        sp.add_argument("--a-sym", action="store_true")
+        sp.add_argument("--sm-abit", type=int, default=8)
+        sp.add_argument("--split", action="store_true")
+        sp.add_argument("--running-stat", action="store_true")
+
+    sp = sub.add_parser("make-cali-data")
+    sp.add_argument("--task", required=True)
+    sp.add_argument("--ckpt")
+    sp.add_argument("--n", type=int, default=256)
+    sp.add_argument("--timesteps", type=int)
+    sp.add_argument("--seed", type=int, default=1234)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_make_cali_data)
+
+    sp = sub.add_parser("calibrate")
+    sp.add_argument("--task", required=True)
+    sp.add_argument("--ckpt")
+    sp.add_argument("--cali-data", required=True)
+    add_quant_flags(sp)
+    sp.add_argument("--cali-st", type=int, default=20)
+    sp.add_argument("--cali-n", type=int, default=256)
+    sp.add_argument("--cali-batch-size", type=int, default=32)
+    sp.add_argument("--cali-iters", type=int, default=20000)
+    sp.add_argument("--cali-iters-a", type=int, default=5000)
+    sp.add_argument("--cali-lr", type=float, default=4e-4)
+    sp.add_argument("--cali-p", type=float, default=2.4)
+    sp.add_argument("--logdir", default="logs")
+    sp.add_argument("--seed", type=int, default=1234)
+    sp.set_defaults(fn=cmd_calibrate)
+
+    sp = sub.add_parser("sample")
+    sp.add_argument("--task", required=True)
+    sp.add_argument("--ckpt")
+    sp.add_argument("--vae-ckpt")
+    sp.add_argument("--qstate")
+    add_quant_flags(sp)
+    sp.add_argument("--engine", default="sim",
+                    choices=["sim", "fold", "int8"])
+    sp.add_argument("--sampler")
+    sp.add_argument("--n", type=int, default=64)
+    sp.add_argument("--batch", type=int, default=64)
+    sp.add_argument("--timesteps", type=int)
+    sp.add_argument("--seed", type=int, default=1234)
+    sp.add_argument("--out", default="samples")
+    sp.set_defaults(fn=cmd_sample)
+
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""CLI smoke test: make-cali-data -> calibrate -> sample on a tiny task."""
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from qdiffusion_tpu import config as qconfig
+from qdiffusion_tpu import cli
+from qdiffusion_tpu.config import SamplerConfig, ScheduleConfig, TaskConfig
+from qdiffusion_tpu.models.unet_ddim import DDIMUNetConfig
+
+TINY_TASK = TaskConfig(
+    name="tiny", family="pixel",
+    schedule=ScheduleConfig("ddpm", "linear", 1e-4, 2e-2, 100),
+    sampler=SamplerConfig("generalized", 8, "uniform", 0.0),
+    image_size=16, channels=3,
+    unet_ddim=DDIMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                             attn_resolutions=(8,), resolution=16))
+
+
+@pytest.fixture(autouse=True)
+def tiny_preset(monkeypatch):
+    monkeypatch.setitem(qconfig.PRESETS, "tiny", TINY_TASK)
+
+
+def test_full_cli_flow(tmp_path):
+    traj = tmp_path / "traj.npz"
+    cli.main(["make-cali-data", "--task", "tiny", "--n", "4",
+              "--out", str(traj)])
+    assert traj.exists()
+    from qdiffusion_tpu.schedules import make_skip_sequence
+
+    d = np.load(traj)
+    assert d["xs"].shape[0] == len(make_skip_sequence(100, 8, "uniform"))
+
+    logdir = tmp_path / "logs"
+    cli.main(["calibrate", "--task", "tiny", "--cali-data", str(traj),
+              "--weight-bit", "4", "--quant-act", "--act-bit", "8",
+              "--split", "--cali-st", "4", "--cali-n", "4",
+              "--cali-batch-size", "4", "--cali-iters", "8",
+              "--cali-iters-a", "4", "--logdir", str(logdir)])
+    runs = list(logdir.glob("calib-tiny-*"))
+    assert runs, "calibration run dir missing"
+    qstate_path = runs[0] / "qstate.npz"
+    assert qstate_path.exists()
+    assert (runs[0] / "sampling_config.json").exists()
+
+    out = tmp_path / "samples"
+    cli.main(["sample", "--task", "tiny", "--qstate", str(qstate_path),
+              "--weight-bit", "4", "--quant-act", "--split",
+              "--engine", "int8", "--n", "4", "--batch", "4",
+              "--out", str(out)])
+    pngs = list(out.glob("*.png"))
+    assert len(pngs) == 4
+
+
+def test_sample_fold_engine(tmp_path):
+    traj = tmp_path / "traj.npz"
+    cli.main(["make-cali-data", "--task", "tiny", "--n", "4",
+              "--out", str(traj)])
+    logdir = tmp_path / "logs"
+    cli.main(["calibrate", "--task", "tiny", "--cali-data", str(traj),
+              "--weight-bit", "8", "--cali-st", "4", "--cali-n", "4",
+              "--cali-batch-size", "4", "--cali-iters", "4",
+              "--logdir", str(logdir)])
+    qstate_path = next(logdir.glob("calib-tiny-*")) / "qstate.npz"
+    out = tmp_path / "samples"
+    cli.main(["sample", "--task", "tiny", "--qstate", str(qstate_path),
+              "--engine", "fold", "--n", "2", "--batch", "2",
+              "--out", str(out)])
+    assert len(list(out.glob("*.png"))) == 2
