@@ -14,6 +14,8 @@ and measures steady-state device throughput, like a sampler loop.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -22,14 +24,26 @@ import jax.numpy as jnp
 BATCH = 64
 IMG = 32
 LOOP = 20
+VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
 
 
-def time_steps(step_fn, x, t):
+def log(msg):
+    if VERBOSE:
+        print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def time_steps(step_fn, x, t, tag=""):
     @jax.jit
     def run(x):
         return jax.lax.fori_loop(0, LOOP, lambda i, x: step_fn(x, t), x)
 
+    log(f"compiling {tag}")
     jax.block_until_ready(run(x))  # compile + warm
+    log(f"compiled {tag}")
     t0 = time.perf_counter()
     jax.block_until_ready(run(x))
     return (time.perf_counter() - t0) / LOOP
@@ -54,14 +68,18 @@ def main():
         return model.apply(params_bf16, x.astype(jnp.bfloat16), t).astype(
             jnp.float32)
 
-    fp_dt = time_steps(fp_step, x, t)
+    fp_dt = time_steps(fp_step, x, t, "bf16 baseline")
+    log(f"fp_dt {fp_dt * 1e3:.2f} ms")
 
     # quantized W8A8 integer path
     qstate = init_weight_qstate(model, params)
+    log("weight qstate done")
     qstate = init_act_qstate(model, params, qstate, x[:8], t[:8])
+    log("act qstate done")
     quant_step = make_quantized_step(model, params, qstate, engine="int8")
 
-    q_dt = time_steps(quant_step, x, t)
+    q_dt = time_steps(quant_step, x, t, "int8 quant step")
+    log(f"q_dt {q_dt * 1e3:.2f} ms")
 
     print(json.dumps({
         "metric": "quant_unet_steps_per_sec",

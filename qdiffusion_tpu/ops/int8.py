@@ -113,9 +113,12 @@ def pack_layer(p: dict, lstate: dict, cfg: LayerQuantConfig) -> PackedWeight:
 
 
 def quantize_act(x: Array, seg: PackedSegment) -> Tuple[Array, Array]:
-    """f32 activations -> (x_c int8, cx). Matches fake_quant clamping."""
+    """Activations -> (x_c int8, cx). Matches fake_quant clamping. The
+    divide/round runs in f32 even for bf16 carriers (bf16's 8 mantissa bits
+    cannot place an 8-bit grid exactly); it fuses into the int8 store."""
     spec = seg.a_spec
     n_levels = spec.n_levels
+    x = x.astype(jnp.float32)
     x_int = jnp.round(x / seg.a_delta) + seg.a_zp
     if spec.symmetric:
         x_q = jnp.clip(x_int, -n_levels - 1, n_levels)
@@ -145,8 +148,14 @@ def _pad_amounts(padding: Union[str, int], k: Tuple[int, int],
 
 
 def int8_conv2d(x: Array, packed: PackedWeight, *, stride=1,
-                padding: Union[str, int] = "SAME") -> Array:
-    """Integer conv2d matching qconv2d's fake-quant semantics bit-exactly."""
+                padding: Union[str, int] = "SAME",
+                out_dtype=None) -> Array:
+    """Integer conv2d matching qconv2d's fake-quant semantics bit-exactly.
+
+    out_dtype: carrier dtype of the dequantized output (bf16 for the
+    deployed path — halves inter-layer HBM traffic; accumulation and the
+    correction arithmetic stay int32/f32)."""
+    out_dtype = out_dtype or x.dtype
     if isinstance(stride, int):
         stride = (stride, stride)
     split_points = np.cumsum([s.w_c.shape[2] for s in packed.segments])[:-1]
@@ -188,11 +197,12 @@ def int8_conv2d(x: Array, packed: PackedWeight, *, stride=1,
         acc = y if acc is None else acc + y
     if packed.bias is not None:
         acc = acc + packed.bias
-    return acc
+    return acc.astype(out_dtype)
 
 
-def int8_dense(x: Array, packed: PackedWeight) -> Array:
+def int8_dense(x: Array, packed: PackedWeight, out_dtype=None) -> Array:
     """Integer dense matching qdense's fake-quant semantics."""
+    out_dtype = out_dtype or x.dtype
     split_points = np.cumsum([s.w_c.shape[0] for s in packed.segments])[:-1]
     xs = jnp.split(x, split_points, axis=-1) if len(packed.segments) > 1 else [x]
     acc = None
@@ -208,4 +218,4 @@ def int8_dense(x: Array, packed: PackedWeight) -> Array:
         acc = y if acc is None else acc + y
     if packed.bias is not None:
         acc = acc + packed.bias
-    return acc
+    return acc.astype(out_dtype)

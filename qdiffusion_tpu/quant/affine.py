@@ -83,14 +83,19 @@ def lp_loss(pred: jnp.ndarray, tgt: jnp.ndarray, p: float = 2.0,
 
 def fake_quant(x: jnp.ndarray, delta: jnp.ndarray, zero_point: jnp.ndarray,
                spec: AffineQuantizerSpec) -> jnp.ndarray:
-    """Quantize-dequantize with STE rounding."""
+    """Quantize-dequantize with STE rounding.
+
+    The grid math runs in f32 (bf16 cannot place an 8-bit grid exactly);
+    the result returns in x's dtype so bf16 carriers stay bf16.
+    """
+    orig_dtype = x.dtype
     n_levels = spec.n_levels
-    x_int = round_ste(x / delta) + zero_point
+    x_int = round_ste(x.astype(jnp.float32) / delta) + zero_point
     if spec.symmetric:
         x_quant = jnp.clip(x_int, -n_levels - 1, n_levels)
     else:
         x_quant = jnp.clip(x_int, 0, n_levels - 1)
-    return (x_quant - zero_point) * delta
+    return ((x_quant - zero_point) * delta).astype(orig_dtype)
 
 
 def _minmax_scale(x_min, x_max, spec: AffineQuantizerSpec):

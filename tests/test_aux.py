@@ -1,0 +1,134 @@
+"""Auxiliary subsystems: EMA, data transforms, BOPS accounting, BERT text
+encoder parity, checkpoint save/load round trips."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REF = Path("/root/reference")
+
+
+def test_ema_update_formula():
+    from qdiffusion_tpu.utils.ema import ema_init, ema_swap, ema_update
+
+    params = {"w": jnp.ones((4,))}
+    shadow = ema_init(params)
+    new_params = {"w": jnp.full((4,), 3.0)}
+    shadow = ema_update(shadow, new_params, mu=0.9)
+    np.testing.assert_allclose(shadow["w"], 0.9 * 1.0 + 0.1 * 3.0)
+    a, b = ema_swap(shadow, new_params)
+    np.testing.assert_allclose(a["w"], 3.0)
+
+
+def test_data_transform_roundtrip():
+    from qdiffusion_tpu.data import (
+        DataTransformConfig,
+        data_transform,
+        inverse_data_transform,
+    )
+
+    cfg = DataTransformConfig(rescaled=True)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 4, 4, 3)),
+                    jnp.float32)
+    y = data_transform(cfg, x)
+    assert float(y.min()) >= -1 and float(y.max()) <= 1
+    back = inverse_data_transform(cfg, y)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+    cfg_logit = DataTransformConfig(rescaled=False, logit_transform=True)
+    y = data_transform(cfg_logit, x)
+    back = inverse_data_transform(cfg_logit, y)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_bops_accounting():
+    from qdiffusion_tpu.utils.flops import conv_macs, dense_macs, model_bops
+    from qdiffusion_tpu.ops.qlayers import LayerQuantConfig
+    from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
+
+    macs = conv_macs((1, 8, 8, 16), (3, 3, 16, 32))
+    assert macs == 8 * 8 * 32 * 3 * 3 * 16
+    cfgs = {"conv": LayerQuantConfig(
+        wq=AffineQuantizerSpec(n_bits=4), aq=AffineQuantizerSpec(n_bits=8))}
+    bops = model_bops({"conv": {"macs": macs}}, cfgs)
+    assert bops == macs * 32
+    # unquantized layer counts at 16x16
+    bops2 = model_bops({"other": {"macs": 100}}, cfgs)
+    assert bops2 == 100 * 256
+
+
+def test_xla_flops_matmul():
+    from qdiffusion_tpu.utils.flops import xla_flops
+
+    f = lambda a, b: a @ b
+    a = jnp.ones((64, 128))
+    b = jnp.ones((128, 256))
+    fl = xla_flops(f, a, b)
+    if fl is not None and fl == fl:  # may be unavailable on some backends
+        np.testing.assert_allclose(fl, 2 * 64 * 128 * 256, rtol=0.01)
+
+
+def test_qstate_checkpoint_roundtrip(tmp_path):
+    from qdiffusion_tpu.utils.checkpoints import load_qstate, save_qstate
+
+    qstate = {"down.0.block.0.conv1": {
+        "w": {"delta": np.ones((1, 1, 1, 4), np.float32),
+              "zero_point": np.zeros((1, 1, 1, 4), np.float32),
+              "alpha": np.random.default_rng(0).normal(
+                  size=(3, 3, 2, 4)).astype(np.float32)},
+        "a": {"delta": np.float32(0.1), "zero_point": np.float32(3.0),
+              "x_min": np.float32(-1.0), "x_max": np.float32(2.0)}}}
+    save_qstate(tmp_path / "q.npz", qstate)
+    back = load_qstate(tmp_path / "q.npz")
+    np.testing.assert_allclose(back["down.0.block.0.conv1"]["w"]["alpha"],
+                               qstate["down.0.block.0.conv1"]["w"]["alpha"])
+    assert set(back["down.0.block.0.conv1"]["a"]) == {
+        "delta", "zero_point", "x_min", "x_max"}
+
+
+def test_bert_text_parity():
+    if not REF.exists():
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, str(REF))
+    import torch
+    from ldm.modules.x_transformer import Encoder, TransformerWrapper
+
+    torch.manual_seed(0)
+    wrapper = TransformerWrapper(
+        num_tokens=60, max_seq_len=12,
+        attn_layers=Encoder(dim=32, depth=2)).eval()
+
+    ids = np.array([[1, 5, 7, 9, 0, 0], [3, 2, 8, 0, 0, 0]], np.int64)
+    with torch.no_grad():
+        ref = wrapper(torch.from_numpy(ids), return_embeddings=True).numpy()
+
+    from qdiffusion_tpu.models.bert_text import BERTTextConfig, BERTTextEncoder
+    from qdiffusion_tpu.models.torch_import import state_dict_to_pytree
+
+    sd = {f"transformer.{k}": v for k, v in wrapper.state_dict().items()}
+    params = state_dict_to_pytree(sd)
+    # embeddings: undo the 2-D transpose for lookup tables
+    tr = params["transformer"]
+    tr["token_emb"] = {"weight": np.transpose(tr["token_emb"]["w"])}
+    tr["pos_emb"]["emb"] = {"weight": np.transpose(tr["pos_emb"]["emb"]["w"])}
+
+    model = BERTTextEncoder(BERTTextConfig(n_embed=32, n_layer=2,
+                                           vocab_size=60, max_seq_len=12,
+                                           heads=8, dim_head=64))
+    ours = model.apply(params, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_ckpt_registry_offline_behaviour(tmp_path):
+    from qdiffusion_tpu.utils.ckpt_registry import get_ckpt_path
+
+    # existing file resolves without any network access
+    p = tmp_path / "cifar10.ckpt"
+    p.write_bytes(b"x")
+    assert get_ckpt_path("cifar10", root=str(tmp_path)) == p
+    with pytest.raises(KeyError):
+        get_ckpt_path("nonexistent_model", root=str(tmp_path))
