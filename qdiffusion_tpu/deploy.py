@@ -87,8 +87,13 @@ def fold_weights(model, params: dict, qstate: dict, dtype=None) -> dict:
 
 def make_quantized_step(model, params: dict, qstate: dict,
                         engine: str = "int8",
-                        has_context: bool = False) -> Callable:
-    """Jitted quantized denoise step (x, t[, context]) -> eps."""
+                        has_context: bool = False,
+                        carrier_dtype=jnp.bfloat16) -> Callable:
+    """Jitted quantized denoise step (x, t[, context]) -> eps.
+
+    carrier_dtype: inter-layer activation dtype for the int8 engine
+    (bf16 default halves HBM traffic; pass jnp.float32 for bit-level
+    comparison against the fake-quant simulation)."""
     if engine == "fold":
         folded = fold_weights(model, params, qstate)
 
@@ -103,7 +108,7 @@ def make_quantized_step(model, params: dict, qstate: dict,
     # bf16 carriers between layers on the deployed path: the int8 kernels
     # quantize from/dequantize to bf16 (grid math stays f32), halving
     # inter-layer HBM traffic vs the f32 simulation.
-    carrier = jnp.bfloat16 if engine == "int8" else None
+    carrier = carrier_dtype if engine == "int8" else None
 
     @jax.jit
     def step(x, t, *ctx_args):

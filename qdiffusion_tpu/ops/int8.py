@@ -12,15 +12,23 @@ with both operands recentred to the signed int8 range:
 
     (x_c + cx) . (w_c + cw) = x_c.w_c + cw*S(x_c) + cx*sum(w_c) + cx*cw*K
 
-S(x_c) is the per-window channel-sum of x_c (one cheap reduce + box sum),
-sum(w_c) is static per out-channel. Zero padding in the fake-quant domain
-corresponds to padding x_c with (zpx - 128), done explicitly before a VALID
-conv. The result is bit-exact with the fake-quant simulation (int32
-accumulation is exact; only the final scale is floating point).
+Efficiency notes (TPU-specific):
+  * S(x_c) — the per-window channel-sum of x_c — is obtained as one extra
+    output channel of the SAME int8 convolution by appending an all-ones
+    int8 column to the packed weight (out-channel padding to the 128-lane
+    tile usually makes this free), instead of a separate reduce pass.
+  * Everything except the matmul and S is folded at pack time into three
+    per-out-channel epilogue constants: y = A*conv + Bc*S + C, with
+    A = dx*dw, Bc = dx*dw*cw, C = dx*dw*(cx*sum(w_c) + cx*cw*K) + bias.
+  * Zero padding in the fake-quant domain corresponds to padding x_c with
+    clip(zpx,0,255) - 128, done explicitly before a VALID conv.
+  * Carriers between layers are bf16; the quantize grid math runs in f32
+    (bf16's 8 mantissa bits cannot place an 8-bit grid exactly).
 
-Weights are packed once post-calibration (AdaRound hard rounding baked into
-the int tensor); activations are quantized on the VPU per call with the
-calibrated static (delta, zero_point).
+The result matches the fake-quant simulation bit-for-bit in integer space
+(int32 accumulation is exact; only the epilogue scale is floating point).
+Weights are packed once post-calibration with AdaRound hard rounding baked
+into the int tensor.
 """
 
 from __future__ import annotations
@@ -40,15 +48,18 @@ Array = jnp.ndarray
 
 @dataclasses.dataclass
 class PackedSegment:
-    """One input-channel segment of a packed integer weight."""
+    """One input-channel segment of a packed integer weight.
 
-    w_c: Array  # int8, recentred integer weight
-    dw: Array  # per-out-channel scale (broadcastable)
-    cw: Array  # per-out-channel recentre correction (f32)
-    wsum: Array  # sum of w_c over all non-out axes, per out-channel (f32)
-    k_elems: int  # reduction size (kernel spatial * in-channels)
-    a_delta: Array  # act quantizer delta (scalar)
-    a_zp: Array  # act quantizer zero point (scalar)
+    w_c carries an extra trailing out-channel of ones when the correction
+    needs S(x) (has_sum_channel)."""
+
+    w_c: Array  # int8, recentred integer weight [+ ones channel]
+    has_sum_channel: bool
+    scale_a: Array  # A  = dx * dw                  (O,)
+    scale_s: Array  # Bc = dx * dw * cw             (O,)
+    const: Array  # C = dx*dw*(cx*wsum + cx*cw*K)  (O,)  (bias added once)
+    a_delta: Array  # act quantizer delta (scalar, f32)
+    a_zp: Array  # act quantizer zero point (scalar, f32)
     a_spec: AffineQuantizerSpec
 
 
@@ -60,8 +71,7 @@ class PackedWeight:
 
 def weight_int_values(w: Array, st: dict, spec: AffineQuantizerSpec) -> Array:
     """Integer grid values of a calibrated weight quantizer (AdaRound hard
-    rounding when alpha present, nearest otherwise). Float array of ints in
-    [0, n_levels-1] (asym) / [-n-1, n] (sym)."""
+    rounding when alpha present, nearest otherwise)."""
     delta, zp = st["delta"], st["zero_point"]
     if "alpha" in st:
         w_int = jnp.floor(w / delta) + (st["alpha"] >= 0).astype(w.dtype)
@@ -76,26 +86,40 @@ def _pack_segment(w: Array, wst: dict, ast: dict, cfg: LayerQuantConfig,
                   out_axis: int) -> PackedSegment:
     spec = cfg.wq
     wq = weight_int_values(w, wst, spec)
-    center = 0.0 if spec.symmetric else float(2 ** (spec.n_bits - 1))
-    w_c = (wq - center).astype(jnp.int8)
+    w_center = 0.0 if spec.symmetric else float(2 ** (spec.n_bits - 1))
+    w_c = (wq - w_center).astype(jnp.int8)
     red_axes = tuple(a for a in range(w.ndim) if a != out_axis % w.ndim)
-    wsum = jnp.sum(w_c.astype(jnp.float32), axis=red_axes)
-    k_elems = int(np.prod([w.shape[a] for a in red_axes]))
-
+    wsum = jnp.sum(w_c.astype(jnp.float32), axis=red_axes).reshape(-1)
+    k_elems = float(np.prod([w.shape[a] for a in red_axes]))
     n_out = w.shape[out_axis]
 
-    def per_channel(a):  # scalar or (1,..,O,..) -> (O,) f32
+    def per_channel(a):
         a = jnp.asarray(a, jnp.float32).reshape(-1)
         return jnp.broadcast_to(a, (n_out,)) if a.size == 1 else a
 
-    dw_vec = per_channel(wst["delta"])
-    cw_vec = per_channel(center - jnp.asarray(wst["zero_point"], jnp.float32))
+    dw = per_channel(wst["delta"])
+    cw = per_channel(w_center - jnp.asarray(wst["zero_point"], jnp.float32))
+
+    a_spec = cfg.aq
+    a_delta = jnp.asarray(ast["delta"], jnp.float32)
+    a_zp = jnp.asarray(ast["zero_point"], jnp.float32)
+    a_center = 0.0 if a_spec.symmetric else float(2 ** (a_spec.n_bits - 1))
+    cx = a_center - a_zp  # scalar (activation quantizers are per-tensor)
+
+    scale_a = a_delta * dw
+    scale_s = scale_a * cw
+    const = scale_a * (cx * wsum + cx * cw * k_elems)
+
+    # append the window-sum channel (all-ones int8 weights) when any cw != 0
+    has_sum = True  # cw is data-dependent (traced); always carry the channel
+    ones_shape = list(w_c.shape)
+    ones_shape[out_axis % w.ndim] = 1
+    w_c = jnp.concatenate(
+        [w_c, jnp.ones(ones_shape, jnp.int8)], axis=out_axis % w.ndim)
+
     return PackedSegment(
-        w_c=w_c, dw=dw_vec, cw=cw_vec, wsum=wsum.reshape(-1),
-        k_elems=k_elems,
-        a_delta=jnp.asarray(ast["delta"], jnp.float32),
-        a_zp=jnp.asarray(ast["zero_point"], jnp.float32),
-        a_spec=cfg.aq)
+        w_c=w_c, has_sum_channel=has_sum, scale_a=scale_a, scale_s=scale_s,
+        const=const, a_delta=a_delta, a_zp=a_zp, a_spec=a_spec)
 
 
 def pack_layer(p: dict, lstate: dict, cfg: LayerQuantConfig) -> PackedWeight:
@@ -112,10 +136,8 @@ def pack_layer(p: dict, lstate: dict, cfg: LayerQuantConfig) -> PackedWeight:
     return PackedWeight(segments=segments, bias=p.get("b"))
 
 
-def quantize_act(x: Array, seg: PackedSegment) -> Tuple[Array, Array]:
-    """Activations -> (x_c int8, cx). Matches fake_quant clamping. The
-    divide/round runs in f32 even for bf16 carriers (bf16's 8 mantissa bits
-    cannot place an 8-bit grid exactly); it fuses into the int8 store."""
+def quantize_act(x: Array, seg: PackedSegment) -> Array:
+    """Activations -> recentred int8 carrier. Matches fake_quant clamping."""
     spec = seg.a_spec
     n_levels = spec.n_levels
     x = x.astype(jnp.float32)
@@ -126,9 +148,16 @@ def quantize_act(x: Array, seg: PackedSegment) -> Tuple[Array, Array]:
     else:
         x_q = jnp.clip(x_int, 0, n_levels - 1)
         center = float(2 ** (spec.n_bits - 1))
-    x_c = (x_q - center).astype(jnp.int8)
-    cx = center - seg.a_zp  # scalar f32
-    return x_c, cx
+    return (x_q - center).astype(jnp.int8)
+
+
+def _pad_value_i8(seg: PackedSegment) -> Array:
+    """Integer-domain value representing f32 zero (grid-clamped)."""
+    if seg.a_spec.symmetric:
+        return jnp.zeros((), jnp.int8)
+    n_lv = seg.a_spec.n_levels
+    return (jnp.clip(seg.a_zp, 0, n_lv - 1)
+            - 2 ** (seg.a_spec.n_bits - 1)).astype(jnp.int8)
 
 
 def _pad_amounts(padding: Union[str, int], k: Tuple[int, int],
@@ -150,50 +179,30 @@ def _pad_amounts(padding: Union[str, int], k: Tuple[int, int],
 def int8_conv2d(x: Array, packed: PackedWeight, *, stride=1,
                 padding: Union[str, int] = "SAME",
                 out_dtype=None) -> Array:
-    """Integer conv2d matching qconv2d's fake-quant semantics bit-exactly.
-
-    out_dtype: carrier dtype of the dequantized output (bf16 for the
-    deployed path — halves inter-layer HBM traffic; accumulation and the
-    correction arithmetic stay int32/f32)."""
+    """Integer conv2d matching qconv2d's fake-quant semantics bit-exactly."""
     out_dtype = out_dtype or x.dtype
     if isinstance(stride, int):
         stride = (stride, stride)
-    split_points = np.cumsum([s.w_c.shape[2] for s in packed.segments])[:-1]
+    split_points = np.cumsum(
+        [s.w_c.shape[2] for s in packed.segments])[:-1]
     xs = jnp.split(x, split_points, axis=-1) if len(packed.segments) > 1 else [x]
     acc = None
     for seg, xseg in zip(packed.segments, xs):
         kh, kw = seg.w_c.shape[0], seg.w_c.shape[1]
         pads = _pad_amounts(padding, (kh, kw), stride, xseg.shape[1:3])
-        x_c, cx = quantize_act(xseg, seg)
-        # pad in the integer domain with the value representing f32 zero —
-        # clamped to the grid exactly like fake_quant clamps a zero input
-        # (zero_point may fall outside [0, n_levels-1] for one-sided ranges)
-        if seg.a_spec.symmetric:
-            pad_val = jnp.zeros((), jnp.float32)
-        else:
-            n_lv = seg.a_spec.n_levels
-            pad_val = (jnp.clip(seg.a_zp, 0, n_lv - 1)
-                       - 2 ** (seg.a_spec.n_bits - 1))
-        pad_val_i8 = pad_val.astype(jnp.int8)
-        needs_pad = any(p != (0, 0) for p in pads)
-        if needs_pad:
-            x_c = jax.lax.pad(x_c, pad_val_i8,
+        x_c = quantize_act(xseg, seg)
+        if any(p != (0, 0) for p in pads):
+            x_c = jax.lax.pad(x_c, _pad_value_i8(seg),
                               [(0, 0, 0)] + [(p[0], p[1], 0) for p in pads]
                               + [(0, 0, 0)])
         y_int = jax.lax.conv_general_dilated(
             x_c, seg.w_c, stride, "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        # correction terms
-        csum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
-        s_win = jax.lax.reduce_window(
-            csum, 0.0, jax.lax.add, (1, kh, kw, 1),
-            (1, stride[0], stride[1], 1), "VALID")
-        y = (y_int
-             + seg.cw[None, None, None, :] * s_win
-             + cx * seg.wsum[None, None, None, :]
-             + cx * seg.cw[None, None, None, :] * seg.k_elems)
-        y = y * (seg.a_delta * seg.dw[None, None, None, :])
+            preferred_element_type=jnp.int32)
+        conv, s_win = y_int[..., :-1], y_int[..., -1:]
+        y = (conv.astype(jnp.float32) * seg.scale_a
+             + s_win.astype(jnp.float32) * seg.scale_s
+             + seg.const)
         acc = y if acc is None else acc + y
     if packed.bias is not None:
         acc = acc + packed.bias
@@ -207,14 +216,14 @@ def int8_dense(x: Array, packed: PackedWeight, out_dtype=None) -> Array:
     xs = jnp.split(x, split_points, axis=-1) if len(packed.segments) > 1 else [x]
     acc = None
     for seg, xseg in zip(packed.segments, xs):
-        x_c, cx = quantize_act(xseg, seg)
+        x_c = quantize_act(xseg, seg)
         y_int = jax.lax.dot_general(
             x_c, seg.w_c, (((x_c.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        ssum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
-        y = (y_int + seg.cw * ssum + cx * seg.wsum
-             + cx * seg.cw * seg.k_elems)
-        y = y * (seg.a_delta * seg.dw)
+            preferred_element_type=jnp.int32)
+        mm, s_sum = y_int[..., :-1], y_int[..., -1:]
+        y = (mm.astype(jnp.float32) * seg.scale_a
+             + s_sum.astype(jnp.float32) * seg.scale_s
+             + seg.const)
         acc = y if acc is None else acc + y
     if packed.bias is not None:
         acc = acc + packed.bias

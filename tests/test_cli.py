@@ -16,9 +16,9 @@ TINY_TASK = TaskConfig(
     name="tiny", family="pixel",
     schedule=ScheduleConfig("ddpm", "linear", 1e-4, 2e-2, 100),
     sampler=SamplerConfig("generalized", 8, "uniform", 0.0),
-    image_size=16, channels=3,
+    image_size=8, channels=3,
     unet_ddim=DDIMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
-                             attn_resolutions=(8,), resolution=16))
+                             attn_resolutions=(), resolution=8))
 
 
 @pytest.fixture(autouse=True)
@@ -56,19 +56,10 @@ def test_full_cli_flow(tmp_path):
     pngs = list(out.glob("*.png"))
     assert len(pngs) == 4
 
-
-def test_sample_fold_engine(tmp_path):
-    traj = tmp_path / "traj.npz"
-    cli.main(["make-cali-data", "--task", "tiny", "--n", "4",
-              "--out", str(traj)])
-    logdir = tmp_path / "logs"
-    cli.main(["calibrate", "--task", "tiny", "--cali-data", str(traj),
-              "--weight-bit", "8", "--cali-st", "4", "--cali-n", "4",
-              "--cali-batch-size", "4", "--cali-iters", "4",
-              "--logdir", str(logdir)])
-    qstate_path = next(logdir.glob("calib-tiny-*")) / "qstate.npz"
-    out = tmp_path / "samples"
+    # fold engine (weight-only deploy) reuses the same calibrated state
+    out2 = tmp_path / "samples_fold"
     cli.main(["sample", "--task", "tiny", "--qstate", str(qstate_path),
+              "--weight-bit", "4", "--split",
               "--engine", "fold", "--n", "2", "--batch", "2",
-              "--out", str(out)])
-    assert len(list(out.glob("*.png"))) == 2
+              "--out", str(out2)])
+    assert len(list(out2.glob("*.png"))) == 2

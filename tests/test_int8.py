@@ -127,13 +127,21 @@ def test_full_model_int8_engine_close_to_sim():
     ctx = QuantCtx(qstate, mode=QuantMode(w=True, a=True))
     sim = model.apply(params, x, t, ctx)
 
-    step = make_quantized_step(model, params, qstate, engine="int8")
-    got = step(x, t)
+    # f32 carriers: only quantization-boundary flips separate the paths.
     # Per-layer parity is ~1e-6 (see kernel tests), but composed layers can
     # flip individual quantization levels when a value sits within float
     # noise of a rounding boundary — compare in norm, not elementwise.
+    step32 = make_quantized_step(model, params, qstate, engine="int8",
+                                 carrier_dtype=jnp.float32)
+    got32 = step32(x, t)
+    rel32 = float(jnp.linalg.norm(got32 - sim) / jnp.linalg.norm(sim))
+    assert rel32 < 0.02
+
+    # deployed bf16 carriers add bounded rounding drift
+    step = make_quantized_step(model, params, qstate, engine="int8")
+    got = step(x, t)
     rel = float(jnp.linalg.norm(got - sim) / jnp.linalg.norm(sim))
-    assert rel < 0.02
+    assert rel < 0.06
     packed = pack_model(model, params, qstate)
     assert len(packed) > 20  # all convs/denses packed
 
