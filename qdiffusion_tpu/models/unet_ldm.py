@@ -118,18 +118,34 @@ class LDMUNet(QuantModelBase):
 
     def __init__(self, config: LDMUNetConfig,
                  policy: Optional[LDMQuantPolicy] = None,
-                 act_quant_partition: bool = False):
+                 act_quant_partition: bool = False,
+                 flash_threshold: int = 0):
         """act_quant_partition: when True, AttentionBlocks decompose into
         qkv/proj_out layer units + matmul act units (reference get_specials
         with leaf_param=True, quant_block.py:389-401); when False the whole
-        AttentionBlock is one reconstruction unit."""
+        AttentionBlock is one reconstruction unit.
+
+        flash_threshold: self-attention sequence length at or above which
+        the blockwise (flash-style) attention path is used at inference —
+        it never materializes the T x T matrix (subsumes the reference
+        is_sm 4096-token memory workaround). 0 (default) disables: on v5e
+        the 4096-token SD matrices fit HBM comfortably and the two-pass
+        scheme costs ~25% extra attention FLOPs, so it is an opt-in for
+        memory-constrained configs (large batch / higher resolution).
+        Calibration-time passes (collect / capture) always materialize,
+        because block reconstruction caches the matmul operands."""
         super().__init__()
         self.cfg = config
         self.policy = policy or LDMQuantPolicy()
         self.act_quant_partition = act_quant_partition
+        self.flash_threshold = flash_threshold
         self._conv_sizes = {}
         self._build()
         self._unit_map = {u.name: u for u in self._units}
+
+    def _use_blockwise(self, ctx: QuantCtx, seq_len: int) -> bool:
+        return (self.flash_threshold > 0 and seq_len >= self.flash_threshold
+                and ctx.collect is None and ctx.capture is None)
 
     # ------------------------------------------------------------------
     # static construction (mirrors openaimodel.py:545-745)
@@ -433,6 +449,22 @@ class LDMUNet(QuantModelBase):
         qk = lambda q, k: self._qk_matmul(ctx, q * scale, k * scale, plan)
         if self.act_quant_partition:
             w = self._unit_call(ctx, f"{name}.attention.qkv_matmul", qk, q, k)
+        elif self._use_blockwise(ctx, t):
+            from qdiffusion_tpu.ops.attention import blockwise_attention
+
+            qs = ctx.act_quant(name, "q", q * scale, self.policy.aq)
+            ks = ctx.act_quant(name, "k", k * scale, self.policy.aq)
+            sm_st = ctx.get_state(name, "sm")
+            v_st = ctx.get_state(name, "v")
+            act_on = ctx.mode.a
+            a = blockwise_attention(
+                qs, ks, v, scale=1.0,
+                sm_q=(sm_st, self.policy.sm_aq_smv)
+                if act_on and sm_st else None,
+                v_q=(v_st, self.policy.aq) if act_on and v_st else None)
+            a = a.reshape(b, t, heads * ch)
+            h_out = self._attnblock_proj(p, ctx, a.astype(x.dtype), name)
+            return (xt + h_out).reshape(b, hh, ww, c)
         else:
             site = name
             qs = ctx.act_quant(site, "q", q * scale, self.policy.aq)
@@ -479,13 +511,25 @@ class LDMUNet(QuantModelBase):
         scale = d ** -0.5
         qq = ctx.act_quant(site, "q", q, self.policy.aq)
         kq = ctx.act_quant(site, "k", k, self.policy.aq)
-        sim = jnp.einsum("bihd,bjhd->bhij", qq, kq,
-                         preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-        wq = ctx.act_quant(site, "sm", attn, self.policy.sm_aq_transformer)
-        vq = ctx.act_quant(site, "v", v, self.policy.aq)
-        out = jnp.einsum("bhij,bjhd->bihd", wq, vq,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if self._use_blockwise(ctx, tq):
+            from qdiffusion_tpu.ops.attention import blockwise_attention
+
+            sm_st = ctx.get_state(site, "sm")
+            v_st = ctx.get_state(site, "v")
+            act_on = ctx.mode.a
+            out = blockwise_attention(
+                qq, kq, v, scale=scale,
+                sm_q=(sm_st, self.policy.sm_aq_transformer)
+                if act_on and sm_st else None,
+                v_q=(v_st, self.policy.aq) if act_on and v_st else None)
+        else:
+            sim = jnp.einsum("bihd,bjhd->bhij", qq, kq,
+                             preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+            wq = ctx.act_quant(site, "sm", attn, self.policy.sm_aq_transformer)
+            vq = ctx.act_quant(site, "v", v, self.policy.aq)
+            out = jnp.einsum("bhij,bjhd->bihd", wq, vq,
+                             preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.reshape(b, tq, inner)
         return qdense(ctx, f"{site}.to_out.0", sp["to_out"]["0"], out,
                       self._layer_cfgs[f"{site}.to_out.0"])

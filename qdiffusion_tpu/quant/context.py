@@ -125,6 +125,11 @@ class QuantCtx:
             return x
         return fake_quant(x, st["delta"], st["zero_point"], spec)
 
+    def get_state(self, name: str, slot: str) -> Optional[dict]:
+        """Public read access to a quantizer's state (e.g. for fused kernels
+        that take the calibrated deltas directly)."""
+        return self._get(name, slot)
+
     # -- block capture -------------------------------------------------------
 
     def capture_io(self, name: str, inp, out):
