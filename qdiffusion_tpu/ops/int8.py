@@ -13,10 +13,10 @@ with both operands recentred to the signed int8 range:
     (x_c + cx) . (w_c + cw) = x_c.w_c + cw*S(x_c) + cx*sum(w_c) + cx*cw*K
 
 Efficiency notes (TPU-specific):
-  * S(x_c) — the per-window channel-sum of x_c — is obtained as one extra
-    output channel of the SAME int8 convolution by appending an all-ones
-    int8 column to the packed weight (out-channel padding to the 128-lane
-    tile usually makes this free), instead of a separate reduce pass.
+  * S(x_c) — the per-window channel-sum of x_c — is one channel-reduce +
+    one box reduce_window, shared across all output channels. (Carrying it
+    as an extra all-ones weight column looks free but breaks the 128-lane
+    output tiling — measured slower.)
   * Everything except the matmul and S is folded at pack time into three
     per-out-channel epilogue constants: y = A*conv + Bc*S + C, with
     A = dx*dw, Bc = dx*dw*cw, C = dx*dw*(cx*sum(w_c) + cx*cw*K) + bias.
@@ -48,13 +48,9 @@ Array = jnp.ndarray
 
 @dataclasses.dataclass
 class PackedSegment:
-    """One input-channel segment of a packed integer weight.
+    """One input-channel segment of a packed integer weight."""
 
-    w_c carries an extra trailing out-channel of ones when the correction
-    needs S(x) (has_sum_channel)."""
-
-    w_c: Array  # int8, recentred integer weight [+ ones channel]
-    has_sum_channel: bool
+    w_c: Array  # int8, recentred integer weight
     scale_a: Array  # A  = dx * dw                  (O,)
     scale_s: Array  # Bc = dx * dw * cw             (O,)
     const: Array  # C = dx*dw*(cx*wsum + cx*cw*K)  (O,)  (bias added once)
@@ -110,15 +106,8 @@ def _pack_segment(w: Array, wst: dict, ast: dict, cfg: LayerQuantConfig,
     scale_s = scale_a * cw
     const = scale_a * (cx * wsum + cx * cw * k_elems)
 
-    # append the window-sum channel (all-ones int8 weights) when any cw != 0
-    has_sum = True  # cw is data-dependent (traced); always carry the channel
-    ones_shape = list(w_c.shape)
-    ones_shape[out_axis % w.ndim] = 1
-    w_c = jnp.concatenate(
-        [w_c, jnp.ones(ones_shape, jnp.int8)], axis=out_axis % w.ndim)
-
     return PackedSegment(
-        w_c=w_c, has_sum_channel=has_sum, scale_a=scale_a, scale_s=scale_s,
+        w_c=w_c, scale_a=scale_a, scale_s=scale_s,
         const=const, a_delta=a_delta, a_zp=a_zp, a_spec=a_spec)
 
 
@@ -195,13 +184,16 @@ def int8_conv2d(x: Array, packed: PackedWeight, *, stride=1,
             x_c = jax.lax.pad(x_c, _pad_value_i8(seg),
                               [(0, 0, 0)] + [(p[0], p[1], 0) for p in pads]
                               + [(0, 0, 0)])
-        y_int = jax.lax.conv_general_dilated(
+        conv = jax.lax.conv_general_dilated(
             x_c, seg.w_c, stride, "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32)
-        conv, s_win = y_int[..., :-1], y_int[..., -1:]
+        csum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
+        s_win = jax.lax.reduce_window(
+            csum, 0.0, jax.lax.add, (1, kh, kw, 1),
+            (1, stride[0], stride[1], 1), "VALID")
         y = (conv.astype(jnp.float32) * seg.scale_a
-             + s_win.astype(jnp.float32) * seg.scale_s
+             + s_win * seg.scale_s
              + seg.const)
         acc = y if acc is None else acc + y
     if packed.bias is not None:
@@ -217,12 +209,12 @@ def int8_dense(x: Array, packed: PackedWeight, out_dtype=None) -> Array:
     acc = None
     for seg, xseg in zip(packed.segments, xs):
         x_c = quantize_act(xseg, seg)
-        y_int = jax.lax.dot_general(
+        mm = jax.lax.dot_general(
             x_c, seg.w_c, (((x_c.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        mm, s_sum = y_int[..., :-1], y_int[..., -1:]
+        s_sum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
         y = (mm.astype(jnp.float32) * seg.scale_a
-             + s_sum.astype(jnp.float32) * seg.scale_s
+             + s_sum * seg.scale_s
              + seg.const)
         acc = y if acc is None else acc + y
     if packed.bias is not None:
