@@ -122,7 +122,8 @@ def test_sd_pipeline_plms_cfg_and_trajectory():
 
     xs, ts, cs = get_train_samples(traj, cali_n=2, cali_st=3, cond=True)
     assert xs.shape[0] == ts.shape[0] == cs.shape[0]
-    assert xs.shape[0] == 2 * 2 * 3  # cond+uncond halves
+    n_slices = len(range(0, S, S // 3))
+    assert xs.shape[0] == 2 * n_slices * 2  # cond+uncond halves
 
 
 def test_pixel_pipeline_dpm_solver():
