@@ -85,6 +85,145 @@ def fold_weights(model, params: dict, qstate: dict, dtype=None) -> dict:
     return new
 
 
+def export_quantized_checkpoint(model, params: dict, qstate: dict,
+                                path) -> dict:
+    """Serialize the deployed model as integer weights + scales.
+
+    Weight tensors are stored as their quantized integer grid values —
+    int8 carrier, nibble-packed for <=4-bit — plus per-channel (delta,
+    zero_point). This realizes the paper's model-size claim (a W4 UNet
+    checkpoint is ~8x smaller than fp32); the reference never materializes
+    integer weights. Biases, norms, and non-quantized leaves ship as fp16.
+
+    Returns a manifest {name: {"bits", "shape", "split"}}.
+    """
+    import numpy as np
+    from pathlib import Path
+
+    from qdiffusion_tpu.models.base import _sub as _sub_base
+
+    flat = {}
+    manifest = {}
+
+    def put_weight(key, w, st, spec):
+        wq = np.asarray(weight_int_values(w, st, spec))
+        bits = spec.n_bits
+        if spec.symmetric:
+            ints = (wq + spec.n_levels + 1).astype(np.uint8)  # shift to >=0
+        else:
+            ints = wq.astype(np.uint8)
+        shape = ints.shape
+        if bits <= 4:
+            pad = (-ints.size) % 2
+            v = np.concatenate([ints.reshape(-1), np.zeros(pad, np.uint8)])
+            packed = (v[0::2] | (v[1::2] << 4)).astype(np.uint8)
+            flat[f"{key}/int4"] = packed
+        else:
+            flat[f"{key}/int8"] = ints
+        flat[f"{key}/delta"] = np.asarray(st["delta"], np.float32)
+        flat[f"{key}/zero_point"] = np.asarray(st["zero_point"], np.float32)
+        return shape
+
+    def visit(node, prefix):
+        for k, child in node.items():
+            pathk = f"{prefix}.{k}" if prefix else k
+            if isinstance(child, dict):
+                if "w" in child and pathk in model.layer_cfgs:
+                    cfg = model.layer_cfg(pathk)
+                    lstate = qstate.get(pathk)
+                    if lstate and "w" in lstate:
+                        if cfg.split:
+                            wa, wb = split_weight(child["w"], cfg.split,
+                                                  cfg.in_axis)
+                            sa = put_weight(f"{pathk}.w", wa, lstate["w"], cfg.wq)
+                            sb = put_weight(f"{pathk}.w0", wb, lstate["w0"],
+                                            cfg.wq)
+                            manifest[pathk] = {"bits": cfg.wq.n_bits,
+                                               "shape": [list(sa), list(sb)],
+                                               "split": cfg.split,
+                                               "axis": cfg.in_axis,
+                                               "sym": cfg.wq.symmetric}
+                        else:
+                            s = put_weight(f"{pathk}.w", child["w"],
+                                           lstate["w"], cfg.wq)
+                            manifest[pathk] = {"bits": cfg.wq.n_bits,
+                                               "shape": list(s), "split": 0,
+                                               "sym": cfg.wq.symmetric}
+                        if "b" in child and child["b"] is not None:
+                            flat[f"{pathk}.b/fp16"] = np.asarray(
+                                child["b"], np.float16)
+                        continue
+                visit(child, pathk)
+            else:
+                flat[f"{pathk}/fp16"] = np.asarray(child, np.float16)
+
+    visit(params, "")
+    import json
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(p, __manifest__=np.frombuffer(
+        json.dumps(manifest).encode(), np.uint8), **flat)
+    return manifest
+
+
+def load_quantized_checkpoint(path) -> Tuple[dict, dict]:
+    """Restore an exported checkpoint into (dequantized_params, manifest).
+
+    The dequantized tree is ready for the 'fold' engine (bit-identical to
+    folding the original weights with the same qstate)."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    data = np.load(Path(path), allow_pickle=False)
+    manifest = json.loads(bytes(data["__manifest__"]).decode())
+
+    def assign(tree, dotted, value):
+        parts = dotted.split(".")
+        node = tree
+        for q in parts[:-1]:
+            node = node.setdefault(q, {})
+        node[parts[-1]] = value
+
+    params: dict = {}
+
+    def dequant(key, bits, shape, sym):
+        n_levels = 2 ** (bits - 1) - 1 if sym else 2**bits
+        if bits <= 4:
+            packed = data[f"{key}/int4"]
+            lo = packed & 0xF
+            hi = packed >> 4
+            ints = np.stack([lo, hi], axis=1).reshape(-1)
+            ints = ints[: int(np.prod(shape))].reshape(shape)
+        else:
+            ints = data[f"{key}/int8"]
+        ints = ints.astype(np.float32)
+        if sym:
+            ints = ints - (n_levels + 1)
+        delta = data[f"{key}/delta"]
+        zp = data[f"{key}/zero_point"]
+        return (ints - zp) * delta
+
+    seen = set()
+    for name, info in manifest.items():
+        sym = info.get("sym", False)
+        if info["split"]:
+            wa = dequant(f"{name}.w", info["bits"], info["shape"][0], sym)
+            wb = dequant(f"{name}.w0", info["bits"], info["shape"][1], sym)
+            w = np.concatenate([wa, wb], axis=info["axis"])
+        else:
+            w = dequant(f"{name}.w", info["bits"], info["shape"], sym)
+        assign(params, f"{name}.w", w)
+        seen.add(name)
+    for key in data.files:
+        if key.endswith("/fp16"):
+            assign(params, key[: -len("/fp16")],
+                   data[key].astype(np.float32))
+    return params, manifest
+
+
 def make_quantized_step(model, params: dict, qstate: dict,
                         engine: str = "int8",
                         has_context: bool = False,
