@@ -44,6 +44,10 @@ def log(msg):
 
 
 def time_steps(step_fn, x, *args, tag=""):
+    """Time LOOP chained steps. step_fn(x, *args) -> eps; *args (param
+    trees included) are threaded as jit arguments so nothing is captured
+    as program constants."""
+
     @jax.jit
     def run(x, *args):
         return jax.lax.fori_loop(
@@ -62,7 +66,7 @@ def time_steps(step_fn, x, *args, tag=""):
 def main():
     from qdiffusion_tpu.models.unet_ddim import DDIMUNet, DDIMUNetConfig
     from qdiffusion_tpu.calib.engine import init_act_qstate, init_weight_qstate
-    from qdiffusion_tpu.deploy import fold_weights, make_quantized_step
+    from qdiffusion_tpu.deploy import fold_weights
 
     model = DDIMUNet(DDIMUNetConfig())  # full CIFAR-10 architecture
     params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
@@ -86,19 +90,26 @@ def main():
     jax.block_until_ready(qstate)
     log("weight qstate ready")
     folded = to_bf16(fold_weights(model, params, qstate))
+    # same compiled program as the baseline, folded weights as data
     t0 = time.perf_counter()
-    run_fold = jax.jit(lambda x, p: jax.lax.fori_loop(
-        0, LOOP, lambda i, x: apply_step(x, p), x))
-    jax.block_until_ready(run_fold(x, folded))
-    t0 = time.perf_counter()
-    jax.block_until_ready(run_fold(x, folded))
-    fold_dt = (time.perf_counter() - t0) / LOOP
-    log(f"fold: {fold_dt * 1e3:.2f} ms/step")
+    fold_dt = time_steps(apply_step, x, folded, tag="fold W-only")
 
     qstate = init_act_qstate(model, params, qstate, x[:8], t[:8])
     log("act qstate ready")
-    quant_step = make_quantized_step(model, params, qstate, engine="int8")
-    int8_dt = time_steps(quant_step, x, t, tag="int8 W8A8")
+
+    from qdiffusion_tpu.deploy import pack_model
+    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+
+    packed = pack_model(model, params, qstate)
+
+    def int8_step(x, p, q, pk):
+        ctx = QuantCtx(q, mode=QuantMode(w=True, a=True), engine="int8",
+                       packed=pk)
+        return model.apply(p, x.astype(jnp.bfloat16), t, ctx).astype(
+            jnp.float32)
+
+    int8_dt = time_steps(int8_step, x, params, qstate, packed,
+                         tag="int8 W8A8")
 
     best_name, best_dt = min((("fold_w_only", fold_dt), ("int8_w8a8", int8_dt)),
                              key=lambda kv: kv[1])

@@ -128,18 +128,24 @@ def calibrate(
     rng: Optional[jax.Array] = None,
     qstate: Optional[dict] = None,
     checkpointer=None,
+    skip_weight_pass: bool = False,
 ) -> dict:
     """Full PTQ calibration; returns the calibrated quantizer pytree.
 
     checkpointer: optional utils.checkpoints.CalibCheckpointer — snapshots
     qstate after every unit and resumes a crashed run (reference
-    mid-calibration temp ckpts, txt2img.py:422-428)."""
+    mid-calibration temp ckpts, txt2img.py:422-428).
+    skip_weight_pass: run only the activation pass on an already
+    weight-reconstructed qstate (reference --resume_w)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     cali_xs, cali_ts = cali_data[0], cali_data[1]
     cali_cs = cali_data[2] if len(cali_data) > 2 else None
 
     start_phase, start_idx = "weight", 0
+    if skip_weight_pass:
+        assert qstate is not None, "skip_weight_pass requires a qstate"
+        start_phase, start_idx = "act_init", 0
     if checkpointer is not None:
         saved_qstate, progress = checkpointer.load()
         if saved_qstate is not None:
@@ -181,7 +187,7 @@ def calibrate(
         return qstate
 
     # ---- activation pass --------------------------------------------------
-    if start_phase == "weight":
+    if start_phase in ("weight", "act_init"):
         n_init = min(cfg.act_init_batch, cali_xs.shape[0])
         rng, sub = jax.random.split(rng)
         inds = jax.random.choice(sub, cali_xs.shape[0], (n_init,),

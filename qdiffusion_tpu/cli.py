@@ -140,6 +140,7 @@ def cmd_calibrate(args):
         weight_bit=args.weight_bit, quant_act=args.quant_act,
         act_bit=args.act_bit, a_sym=args.a_sym, sm_abit=args.sm_abit,
         split=args.split, running_stat=args.running_stat,
+        rs_sm_only=args.rs_sm_only, a_min_max=args.a_min_max,
         cali_st=args.cali_st, cali_n=args.cali_n,
         cali_batch_size=args.cali_batch_size, cali_iters=args.cali_iters,
         cali_iters_a=args.cali_iters_a, cali_lr=args.cali_lr,
@@ -160,9 +161,20 @@ def cmd_calibrate(args):
                              cond=task.family == "sd")
     logger.info("calibration data: %s", [tuple(c.shape) for c in cali])
 
+    qstate0 = None
+    if args.resume_w:
+        # reference --resume_w: load an already-reconstructed weight
+        # qstate and run only the activation pass
+        from qdiffusion_tpu.utils.checkpoints import load_qstate
+
+        qstate0 = load_qstate(args.resume_w)
+        logger.info("resuming from weight qstate %s", args.resume_w)
+
     ckptr = CalibCheckpointer(run_dir)
     qstate = calibrate(model, params, cali, qflags.calib_config(),
-                       rng=jax.random.PRNGKey(args.seed), checkpointer=ckptr)
+                       rng=jax.random.PRNGKey(args.seed), qstate=qstate0,
+                       checkpointer=ckptr,
+                       skip_weight_pass=qstate0 is not None)
     print(f"calibrated quantizer state -> {run_dir / 'qstate.npz'}")
 
 
@@ -262,6 +274,10 @@ def main(argv=None):
         sp.add_argument("--sm-abit", type=int, default=8)
         sp.add_argument("--split", action="store_true")
         sp.add_argument("--running-stat", action="store_true")
+        sp.add_argument("--rs-sm-only", action="store_true",
+                        help="running stats only for post-softmax quantizers")
+        sp.add_argument("--a-min-max", action="store_true",
+                        help="act scale init 'max' instead of 'mse' (LDM)")
 
     sp = sub.add_parser("make-cali-data")
     sp.add_argument("--task", required=True)
@@ -276,6 +292,7 @@ def main(argv=None):
     sp.add_argument("--task", required=True)
     sp.add_argument("--ckpt")
     sp.add_argument("--cali-data", required=True)
+    sp.add_argument("--resume-w", help="weight-pass qstate to resume from")
     add_quant_flags(sp)
     sp.add_argument("--cali-st", type=int, default=20)
     sp.add_argument("--cali-n", type=int, default=256)

@@ -233,14 +233,17 @@ def make_quantized_step(model, params: dict, qstate: dict,
     carrier_dtype: inter-layer activation dtype for the int8 engine
     (bf16 default halves HBM traffic; pass jnp.float32 for bit-level
     comparison against the fake-quant simulation)."""
+    # Parameter trees are passed as jit ARGUMENTS, not closures: closed-over
+    # device arrays get captured as program constants (multi-GB programs and
+    # huge compile/transfer cost, especially on remote-compile setups).
     if engine == "fold":
         folded = fold_weights(model, params, qstate)
 
         @jax.jit
-        def step_fold(x, t, *ctx_args):
-            return model.apply(folded, x, t, *ctx_args)
+        def _fold_step(p, x, t, *ctx_args):
+            return model.apply(p, x, t, *ctx_args)
 
-        return step_fold
+        return lambda x, t, *ctx_args: _fold_step(folded, x, t, *ctx_args)
 
     packed = pack_model(model, params, qstate) if engine == "int8" else {}
     mode = QuantMode(w=True, a=True, soft=False)
@@ -248,18 +251,20 @@ def make_quantized_step(model, params: dict, qstate: dict,
     # quantize from/dequantize to bf16 (grid math stays f32), halving
     # inter-layer HBM traffic vs the f32 simulation.
     carrier = carrier_dtype if engine == "int8" else None
+    use_int8 = bool(packed)
 
     @jax.jit
-    def step(x, t, *ctx_args):
+    def _step(p, q, pk, x, t, *ctx_args):
         in_dtype = x.dtype
         if carrier is not None:
             x = x.astype(carrier)
-        ctx = QuantCtx(qstate, mode=mode, engine="int8" if packed else "sim",
-                       packed=packed)
+        ctx = QuantCtx(q, mode=mode, engine="int8" if use_int8 else "sim",
+                       packed=pk)
         if ctx_args:
-            out = model.apply(params, x, t, ctx, context=ctx_args[0])
+            out = model.apply(p, x, t, ctx, context=ctx_args[0])
         else:
-            out = model.apply(params, x, t, ctx)
+            out = model.apply(p, x, t, ctx)
         return out.astype(in_dtype)
 
-    return step
+    return lambda x, t, *ctx_args: _step(params, qstate, packed, x, t,
+                                         *ctx_args)

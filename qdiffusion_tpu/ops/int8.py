@@ -65,6 +65,21 @@ class PackedWeight:
     bias: Optional[Array]
 
 
+# register packed containers as pytrees (arrays are children, the static
+# quantizer spec rides as aux data) so they can be passed as jit arguments
+jax.tree_util.register_pytree_node(
+    PackedSegment,
+    lambda s: ((s.w_c, s.scale_a, s.scale_s, s.const, s.a_delta, s.a_zp),
+               s.a_spec),
+    lambda spec, ch: PackedSegment(*ch, a_spec=spec),
+)
+jax.tree_util.register_pytree_node(
+    PackedWeight,
+    lambda p: ((p.segments, p.bias), None),
+    lambda _, ch: PackedWeight(segments=ch[0], bias=ch[1]),
+)
+
+
 def weight_int_values(w: Array, st: dict, spec: AffineQuantizerSpec) -> Array:
     """Integer grid values of a calibrated weight quantizer (AdaRound hard
     rounding when alpha present, nearest otherwise)."""
