@@ -50,14 +50,21 @@ def time_steps(step_fn, x, *args, tag=""):
 
     @jax.jit
     def run(x, *args):
-        return jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, LOOP, lambda i, x: step_fn(x, *args).astype(x.dtype), x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def sync(x_in):
+        # pull a result-dependent scalar to host: block_until_ready alone
+        # does not reliably block over the axon tunnel, and identical
+        # executions are served from cache — vary the input per call
+        return float(run(x_in, *args))
 
     log(f"compiling {tag}")
-    jax.block_until_ready(run(x, *args))  # compile + warm
+    sync(x)  # compile + warm
     log(f"compiled {tag}")
     t0 = time.perf_counter()
-    jax.block_until_ready(run(x, *args))
+    sync(x + 0.001)
     dt = (time.perf_counter() - t0) / LOOP
     log(f"{tag}: {dt * 1e3:.2f} ms/step")
     return dt

@@ -14,15 +14,27 @@ import jax
 import jax.numpy as jnp
 
 
-def time_step(fn, *args, n=5, tag=""):
+def time_step(fn, params, x, *args, n=10, tag=""):
+    """Chained-loop timing (the tunnel dedupes repeated identical calls)."""
+
+    @jax.jit
+    def run(p, x, *args):
+        return jax.lax.fori_loop(
+            0, n, lambda i, x: fn(p, x, *args).astype(x.dtype), x)
+
+    def sync_run(x_in):
+        # force a device->host transfer of a result-dependent scalar:
+        # block_until_ready alone does not reliably block over the tunnel
+        out = run(params, x_in, *args)
+        return float(jnp.sum(out.astype(jnp.float32)))
+
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
+    sync_run(x)
     print(f"[{tag}] compile+first: {time.perf_counter() - t0:.1f}s",
           flush=True)
+    x2 = x + 0.001  # fresh input: the tunnel caches whole executions
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    sync_run(x2)
     dt = (time.perf_counter() - t0) / n
     print(f"[{tag}] step: {dt * 1e3:.1f} ms", flush=True)
     return dt
@@ -44,8 +56,8 @@ def smoke_sd():
     t = jnp.full((B,), 500.0)
     c = jax.random.normal(jax.random.PRNGKey(2), (B, 77, 768), jnp.bfloat16)
 
-    step = jax.jit(lambda p, x, t, c: model.apply(p, x, t, context=c))
-    time_step(step, params, x, t, c, tag="sd bf16 fwd")
+    time_step(lambda p, x, t, c: model.apply(p, x, t, context=c),
+              params, x, t, c, tag="sd bf16 fwd")
 
 
 def smoke_beds():
@@ -62,8 +74,8 @@ def smoke_beds():
     B = 8
     x = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 3), jnp.bfloat16)
     t = jnp.full((B,), 500.0)
-    step = jax.jit(lambda p, x, t: model.apply(p, x, t))
-    time_step(step, params, x, t, tag="beds bf16 fwd")
+    time_step(lambda p, x, t: model.apply(p, x, t),
+              params, x, t, tag="beds bf16 fwd")
 
 
 if __name__ == "__main__":
