@@ -169,10 +169,17 @@ def calibrate(
         inps, out = capture_unit_io(
             model, params, qstate, unit.name, cali_xs, cali_ts, cali_cs,
             asym=cfg.asym, act_quant=False, batch_size=cfg.capture_batch)
+        grads = None
+        if cfg.weight.opt_mode != "mse":
+            from qdiffusion_tpu.calib.fisher import save_grad_data
+
+            grads = save_grad_data(model, params, qstate, unit.name, cali_xs,
+                                   cali_ts, cali_cs, act_quant=False,
+                                   batch_size=cfg.capture_batch)
         rng, sub = jax.random.split(rng)
         qstate = reconstruct_unit(model, params, qstate, unit, inps, out,
                                   cfg.weight, act_quant=False, rng=sub,
-                                  sm_abit=cfg.sm_abit)
+                                  sm_abit=cfg.sm_abit, cached_grads=grads)
         jax.block_until_ready(qstate[unit.layer_names[0]]["w"]["delta"])
         logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
                     len(model.units), unit.name, time.time() - t0)
@@ -211,10 +218,17 @@ def calibrate(
         inps, out = capture_unit_io(
             model, params, qstate, unit.name, cali_xs, cali_ts, cali_cs,
             asym=False, act_quant=True, batch_size=cfg.capture_batch)
+        grads = None
+        if cfg.act.opt_mode != "mse":
+            from qdiffusion_tpu.calib.fisher import save_grad_data
+
+            grads = save_grad_data(model, params, qstate, unit.name, cali_xs,
+                                   cali_ts, cali_cs, act_quant=True,
+                                   batch_size=cfg.capture_batch)
         rng, sub = jax.random.split(rng)
         qstate = reconstruct_unit(model, params, qstate, unit, inps, out,
                                   cfg.act, act_quant=True, rng=sub,
-                                  sm_abit=cfg.sm_abit)
+                                  sm_abit=cfg.sm_abit, cached_grads=grads)
         logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
                     len(model.units), unit.name, time.time() - t0)
         if checkpointer is not None:

@@ -43,6 +43,7 @@ class ReconConfig:
     p: float = 2.0  # Lp reconstruction norm (weight pass; act pass uses 2.4)
     lr: float = 4e-4  # act-delta learning rate
     alpha_lr: float = 1e-3  # Adam default, used for AdaRound alphas
+    opt_mode: str = "mse"  # 'mse' | 'fisher_diag' | 'fisher_full'
 
 
 # ---------------------------------------------------------------------------
@@ -143,12 +144,18 @@ def reconstruct_unit(
     act_quant: bool = False,
     rng: Optional[jax.Array] = None,
     sm_abit: int = 8,
+    cached_grads: Optional[Array] = None,
 ) -> dict:
     """Optimize the unit's rounding (act_quant=False) or act deltas
-    (act_quant=True); returns the updated full qstate."""
+    (act_quant=True); returns the updated full qstate.
+
+    cached_grads: Fisher weights aligned with cached_out (required when
+    cfg.opt_mode != 'mse'; see calib/fisher.py)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     mode = "act" if act_quant else "weight"
+    if cfg.opt_mode != "mse":
+        assert cached_grads is not None, "fisher modes need cached grads"
 
     if not act_quant:
         qstate = init_adaround_unit(model, params, qstate, unit)
@@ -167,13 +174,19 @@ def reconstruct_unit(
     else:
         opt = optax.adam(cfg.alpha_lr)
 
-    def loss_fn(train, b_x, b_t_aux, b_out, b_temp, count):
+    def loss_fn(train, b_x, b_t_aux, b_out, b_grad, b_temp, count):
         q = merge_trainable(qstate, train, mode)
         ctx = QuantCtx(q, mode=fwd_mode)
         inps = (b_x,) if b_t_aux is None else (b_x, b_t_aux)
         pred = unit.apply(params, ctx, *inps)
-        err = jnp.abs(pred - b_out) ** p_norm
-        rec = jnp.mean(jnp.sum(err, axis=loss_axis))
+        if cfg.opt_mode != "mse":
+            from qdiffusion_tpu.calib.fisher import fisher_rec_loss
+
+            rec = fisher_rec_loss(pred, b_out, b_grad, cfg.opt_mode,
+                                  axis=loss_axis)
+        else:
+            err = jnp.abs(pred - b_out) ** p_norm
+            rec = jnp.mean(jnp.sum(err, axis=loss_axis))
         if act_quant:
             return rec
         round_loss = 0.0
@@ -190,7 +203,7 @@ def reconstruct_unit(
     two_inputs = len(cached_inps) > 1
 
     @jax.jit
-    def run(train0, inps, out, key):
+    def run(train0, inps, out, fgrads, key):
         def body(i, carry):
             train, opt_state, k = carry
             key_i = jax.random.fold_in(k, i)
@@ -198,9 +211,11 @@ def reconstruct_unit(
             b_x = jnp.take(inps[0], idx, axis=0)
             b_aux = jnp.take(inps[1], idx, axis=0) if two_inputs else None
             b_out = jnp.take(out, idx, axis=0)
+            b_grad = (jnp.take(fgrads, idx, axis=0)
+                      if fgrads is not None else None)
             b_temp = temp_decay(i + 1.0, cfg.iters, cfg.warmup, cfg.b_start,
                                 cfg.b_end)
-            grads = grad_fn(train, b_x, b_aux, b_out, b_temp, i + 1.0)
+            grads = grad_fn(train, b_x, b_aux, b_out, b_grad, b_temp, i + 1.0)
             updates, opt_state = opt.update(grads, opt_state, train)
             train = optax.apply_updates(train, updates)
             return (train, opt_state, k)
@@ -210,5 +225,5 @@ def reconstruct_unit(
             0, cfg.iters, body, (train0, opt_state, key))
         return train
 
-    train_final = run(train0, cached_inps, cached_out, rng)
+    train_final = run(train0, cached_inps, cached_out, cached_grads, rng)
     return merge_trainable(qstate, train_final, mode)

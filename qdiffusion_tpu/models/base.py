@@ -57,6 +57,10 @@ class QuantModelBase:
         return cfg
 
     def _unit_call(self, ctx: QuantCtx, name: str, fn: Callable, *inps):
+        if name in ctx.substitute:
+            # output override for block-gradient computation; the unit's
+            # own compute becomes dead code
+            return ctx.substitute[name]
         out = fn(*inps)
         ctx.capture_io(name, inps if len(inps) > 1 else inps[0], out)
         return out

@@ -69,35 +69,21 @@ class QuantPolicy:
         return self.aq.replace(n_bits=self.sm_abit)
 
 
-@dataclasses.dataclass
-class ReconUnit:
-    """One reconstruction target: a leaf layer or a structural block."""
-
-    name: str
-    kind: str  # 'layer' | 'resnet' | 'attn'
-    apply: Callable  # standalone forward: (params, ctx, *inputs) -> out
-    layer_names: List[str]  # quantizable conv/linear sites inside
-    takes_temb: bool = False
+from qdiffusion_tpu.models.base import QuantModelBase, ReconUnit, _sub  # noqa: E402
 
 
-class DDIMUNet:
+class DDIMUNet(QuantModelBase):
     """CIFAR/LSUN pixel-space epsilon-prediction UNet."""
 
     def __init__(self, config: DDIMUNetConfig, policy: Optional[QuantPolicy] = None):
+        super().__init__()
         self.cfg = config
         self.policy = policy or QuantPolicy()
-        self._layer_cfgs: Dict[str, LayerQuantConfig] = {}
-        self._units: List[ReconUnit] = []
         self._build()
 
     # ------------------------------------------------------------------
     # static structure
     # ------------------------------------------------------------------
-
-    def _lcfg(self, name: str, split: int = 0) -> LayerQuantConfig:
-        cfg = LayerQuantConfig(wq=self.policy.wq, aq=self.policy.aq, split=split)
-        self._layer_cfgs[name] = cfg
-        return cfg
 
     def _build(self):
         cfg = self.cfg
@@ -106,8 +92,8 @@ class DDIMUNet:
 
         # resolve static channel plan (mirrors reference constructor
         # diffusion.py:238-298) and register quant sites + recon units.
-        self._lcfg("temb.dense.0")
-        self._lcfg("temb.dense.1")
+        self._lcfg("temb.dense.0", in_axis=0)
+        self._lcfg("temb.dense.1", in_axis=0)
         self._lcfg("conv_in")
         self._units.append(ReconUnit(
             "temb.dense.0", "layer",
@@ -304,11 +290,6 @@ class DDIMUNet:
                        self._layer_cfgs[f"{name}.proj_out"], padding="VALID")
         return x + hout
 
-    def _unit_call(self, ctx: QuantCtx, name: str, fn: Callable, *inps):
-        out = fn(*inps)
-        ctx.capture_io(name, inps if len(inps) > 1 else inps[0], out)
-        return out
-
     # ------------------------------------------------------------------
     # full forward
     # ------------------------------------------------------------------
@@ -370,21 +351,6 @@ class DDIMUNet:
     def _unit_apply_map(self, params, ctx):
         return {unit.name: (lambda unit: lambda *inps: unit.apply(
             params, ctx, *inps))(unit) for unit in self._units}
-
-    # ------------------------------------------------------------------
-    # registry access for the calibration engine
-    # ------------------------------------------------------------------
-
-    @property
-    def units(self) -> List[ReconUnit]:
-        return list(self._units)
-
-    def layer_cfg(self, name: str) -> LayerQuantConfig:
-        return self._layer_cfgs[name]
-
-    @property
-    def layer_cfgs(self) -> Dict[str, LayerQuantConfig]:
-        return dict(self._layer_cfgs)
 
     # ------------------------------------------------------------------
     # parameter init (for tests; real weights come from torch_import)
@@ -470,12 +436,5 @@ class DDIMUNet:
         params["norm_out"] = norm(self.out_ch_in)
         params["conv_out"] = conv(self.out_ch_in, cfg.out_ch, 3)
         return params
-
-
-def _sub(params: dict, dotted: str) -> dict:
-    node: Any = params
-    for part in dotted.split("."):
-        node = node[part]
-    return node
 
 

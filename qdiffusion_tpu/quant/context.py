@@ -58,13 +58,20 @@ class QuantCtx:
 
     def __init__(self, qstate: Optional[dict] = None, mode: QuantMode = QuantMode.off(),
                  collect: Optional[str] = None, capture: Optional[str] = None,
-                 engine: str = "sim", packed: Optional[dict] = None):
+                 engine: str = "sim", packed: Optional[dict] = None,
+                 substitute: Optional[dict] = None):
         self.qstate: dict = qstate or {}
         self.mode = mode
         self.collect = collect
         self.capture = capture  # block name whose (input, output) to record
         self.collected: Dict[str, dict] = {}
         self.captured: dict = {}
+        # substitute: {unit name -> array}: the unit's output is replaced by
+        # the given value (its own compute is dead code). Differentiating
+        # the model output w.r.t. the substituted value gives the
+        # block-output gradient — the functional form of the reference's
+        # backward hook (GetLayerGrad, qdiff/utils.py:271-308).
+        self.substitute: dict = substitute or {}
         # engine='sim': fake-quant simulation (calibration-time).
         # engine='int8': deployed integer kernels; `packed` maps layer name
         # -> PackedWeight (ops/int8.py). Layers without an entry fall back
