@@ -221,6 +221,17 @@ def cmd_sample(args):
     out_dir = Path(args.out)
     rng = jax.random.PRNGKey(args.seed)
     batch = args.batch
+    n_dev = len(jax.devices())
+    if args.dp and n_dev > 1:
+        # data-parallel FID sampling: replicate params, shard the batch
+        # over the mesh; the scan-sampler runs SPMD with zero collectives
+        from qdiffusion_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh()
+        params = replicate(params, mesh)
+        batch = (batch // n_dev) * n_dev or n_dev
+        logger.info("data-parallel sampling over %d devices, batch %d",
+                    n_dev, batch)
     idx = 0
     tput = Throughput()
     while idx < args.n:
@@ -319,6 +330,8 @@ def main(argv=None):
     sp.add_argument("--timesteps", type=int)
     sp.add_argument("--seed", type=int, default=1234)
     sp.add_argument("--out", default="samples")
+    sp.add_argument("--dp", action="store_true",
+                    help="shard the sampling batch over all devices")
     sp.set_defaults(fn=cmd_sample)
 
     args = p.parse_args(argv)

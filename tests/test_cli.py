@@ -63,3 +63,11 @@ def test_full_cli_flow(tmp_path):
               "--engine", "fold", "--n", "2", "--batch", "2",
               "--out", str(out2)])
     assert len(list(out2.glob("*.png"))) == 2
+
+
+def test_sample_dp_flag(tmp_path):
+    """--dp shards the sampling batch over the 8 virtual devices."""
+    out = tmp_path / "dp_samples"
+    cli.main(["sample", "--task", "tiny", "--n", "8", "--batch", "8",
+              "--dp", "--out", str(out)])
+    assert len(list(out.glob("*.png"))) == 8
