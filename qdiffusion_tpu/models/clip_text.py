@@ -71,6 +71,23 @@ class CLIPTextEncoder:
                              params["final_layer_norm"]["bias"],
                              eps=cfg.layer_norm_eps)
 
+    def pooled_apply(self, params: dict, input_ids: Array,
+                     normalize: bool = True) -> Array:
+        """Pooled text features (FrozenCLIPTextEmbedder semantics,
+        reference modules.py:163-190): the final-LN hidden state at each
+        sequence's argmax token id (the EOS position in CLIP's BPE
+        vocabulary), through the text projection when present, optionally
+        L2-normalized."""
+        h = self.apply(params, input_ids)  # (B, L, D), post final LN
+        eos = jnp.argmax(input_ids, axis=-1)  # CLIP: eos has the max id
+        pooled = h[jnp.arange(h.shape[0]), eos]
+        proj = params.get("text_projection")
+        if proj is not None:
+            pooled = nn.dense(pooled, proj["w"])
+        if normalize:
+            pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        return pooled
+
     def _attention(self, p: dict, h: Array, mask: Array) -> Array:
         cfg = self.cfg
         B, L, D = h.shape

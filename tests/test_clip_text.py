@@ -66,3 +66,28 @@ def test_causal_mask_effect():
     np.testing.assert_allclose(np.asarray(o1[:, :3]), np.asarray(o2[:, :3]),
                                atol=1e-5)
     assert float(jnp.max(jnp.abs(o1[:, 3] - o2[:, 3]))) > 1e-4
+
+
+def test_pooled_projection_parity():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModelWithProjection
+
+    hf_cfg = HFConfig(vocab_size=100, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      max_position_embeddings=16, hidden_act="quick_gelu",
+                      projection_dim=24, eos_token_id=99)
+    torch.manual_seed(1)
+    hf = CLIPTextModelWithProjection(hf_cfg).eval()
+    # EOS == max token id (99) so argmax pooling matches HF's eos lookup
+    ids = np.array([[1, 5, 9, 99, 0, 0], [2, 7, 30, 4, 99, 0]], np.int64)
+    with torch.no_grad():
+        ref = hf(input_ids=torch.from_numpy(ids)).text_embeds.numpy()
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+
+    model = CLIPTextEncoder(CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, max_positions=16))
+    params = convert_hf_clip_text(hf.state_dict())
+    got = model.pooled_apply(params, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-3, atol=1e-4)
