@@ -1,0 +1,41 @@
+"""Calibration throughput on the real chip: one full-size CIFAR-UNet block
+reconstructed at reference settings (20k Adam iters, batch 32, 512-sample
+cache) — the loop the reference runs as 20k Python steps per block."""
+
+import time
+import jax
+import jax.numpy as jnp
+
+from qdiffusion_tpu.models.unet_ddim import DDIMUNet, DDIMUNetConfig
+from qdiffusion_tpu.calib.engine import init_weight_qstate
+from qdiffusion_tpu.calib.capture import capture_unit_io
+from qdiffusion_tpu.calib.recon import ReconConfig, reconstruct_unit
+
+model = DDIMUNet(DDIMUNetConfig())  # full CIFAR architecture
+params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+jax.block_until_ready(params)
+qstate = jax.jit(lambda p: init_weight_qstate(model, p))(params)
+jax.block_until_ready(qstate)
+print("init done", flush=True)
+
+xs = jax.random.normal(jax.random.PRNGKey(1), (512, 32, 32, 3))
+ts = jnp.asarray(jnp.linspace(0, 999, 512))
+
+for unit_name in ["down.0.block.0", "mid.attn_1"]:
+    unit = next(u for u in model.units if u.name == unit_name)
+    t0 = time.time()
+    inps, out = capture_unit_io(model, params, qstate, unit.name, xs, ts,
+                                asym=True, batch_size=64)
+    jax.block_until_ready(out)
+    t_cap = time.time() - t0
+    cfg = ReconConfig(iters=20000, batch_size=32)
+    t0 = time.time()
+    qstate = reconstruct_unit(model, params, qstate, unit, inps, out, cfg,
+                              act_quant=False)
+    jax.block_until_ready(qstate[unit.layer_names[0]]["w"]["alpha"])
+    t_rec = time.time() - t0
+    print(f"{unit_name}: capture {t_cap:.1f}s | 20k-iter AdaRound "
+          f"{t_rec:.1f}s ({20000 / t_rec:.0f} iters/s)", flush=True)
+
+n_units = len(model.units)
+print(f"({n_units} units total in the CIFAR UNet)", flush=True)
