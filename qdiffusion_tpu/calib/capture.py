@@ -15,7 +15,7 @@ already hard-AdaRounded), the output stays full-precision.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,11 +19,10 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from qdiffusion_tpu.calib.capture import capture_unit_io
 from qdiffusion_tpu.calib.recon import ReconConfig, reconstruct_unit

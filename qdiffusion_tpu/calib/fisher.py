@@ -16,8 +16,7 @@ Captured grads follow the reference post-processing: |g| + 1.0
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

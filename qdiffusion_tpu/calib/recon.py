@@ -16,7 +16,6 @@ minibatches gathered on-device.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

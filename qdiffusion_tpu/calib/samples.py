@@ -8,8 +8,6 @@ trajectories back-to-back.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -11,7 +11,7 @@ Presets reproduce the reference model zoo configs:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 from qdiffusion_tpu.models.unet_ddim import DDIMUNetConfig, QuantPolicy
 from qdiffusion_tpu.models.unet_ldm import LDMQuantPolicy, LDMUNetConfig

@@ -100,8 +100,6 @@ def export_quantized_checkpoint(model, params: dict, qstate: dict,
     import numpy as np
     from pathlib import Path
 
-    from qdiffusion_tpu.models.base import _sub as _sub_base
-
     flat = {}
     manifest = {}
 

@@ -16,7 +16,7 @@ generation ran on TPU; scoring 50k images is minutes of CPU).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 

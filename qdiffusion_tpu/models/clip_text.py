@@ -14,8 +14,6 @@ the HF CLIPTokenizer; any BPE implementation producing CLIP ids works).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,6 @@ array in if exact bicubic parity is needed).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from qdiffusion_tpu import nn
-from qdiffusion_tpu.models.base import _sub
 from qdiffusion_tpu.models.unet_ldm import LDMUNet, LDMUNetConfig
 from qdiffusion_tpu.quant.context import QuantCtx
 

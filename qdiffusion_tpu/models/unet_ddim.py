@@ -20,16 +20,16 @@ Calibration hooks:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from qdiffusion_tpu import nn
-from qdiffusion_tpu.ops.qlayers import LayerQuantConfig, qconv2d, qdense
+from qdiffusion_tpu.ops.qlayers import qconv2d, qdense
 from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
-from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+from qdiffusion_tpu.quant.context import QuantCtx
 
 Array = jnp.ndarray
 

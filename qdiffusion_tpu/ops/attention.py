@@ -20,12 +20,10 @@ All inputs are (B, T, H, D)/(B, S, H, D); softmax statistics in f32.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
-from qdiffusion_tpu.quant.affine import AffineQuantizerSpec, fake_quant
+from qdiffusion_tpu.quant.affine import fake_quant
 
 Array = jnp.ndarray
 

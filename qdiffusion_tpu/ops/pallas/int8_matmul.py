@@ -17,8 +17,6 @@ control, not raw matmul throughput (see docs/ROADMAP.md).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -14,8 +14,6 @@ axis 2 = input channels), dense weights (in, out) (split on axis 0).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 
 from qdiffusion_tpu import nn

@@ -18,7 +18,7 @@ mesh via jax.distributed initialization; shardings are expressed once.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

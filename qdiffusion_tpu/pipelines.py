@@ -18,7 +18,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from qdiffusion_tpu.models.vae import VAE
 from qdiffusion_tpu.quant.context import QuantCtx, QuantMode

@@ -26,8 +26,6 @@ are HWIO (out-channel last), not OIHW.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,8 +17,7 @@ compiles a single UNet body per order instead of unrolling 50 copies.
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ from __future__ import annotations
 import hashlib
 import logging
 from pathlib import Path
-from typing import Optional
-
 logger = logging.getLogger(__name__)
 
 _BASE = "https://heibox.uni-heidelberg.de/f/{}/?dl=1"

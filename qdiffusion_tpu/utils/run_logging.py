@@ -11,8 +11,6 @@ import logging
 import time
 from datetime import datetime
 from pathlib import Path
-from typing import Optional
-
 logger = logging.getLogger(__name__)
 
 
