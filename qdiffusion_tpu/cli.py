@@ -178,6 +178,24 @@ def cmd_calibrate(args):
     print(f"calibrated quantizer state -> {run_dir / 'qstate.npz'}")
 
 
+def cmd_convert(args):
+    """torch FP checkpoint -> native npz param pytree (one-time step so
+    deployments don't need torch installed)."""
+    import jax
+
+    from qdiffusion_tpu.config import PRESETS
+    from qdiffusion_tpu.utils.checkpoints import save_pytree
+
+    task = PRESETS[args.task]
+    model, _ = build_model_and_pipeline(task)
+    params = load_fp_params(args.ckpt, task, model)
+    # validate tree structure against the model before persisting
+    like = model.init_params(jax.random.PRNGKey(0))
+    jax.tree_util.tree_map(lambda a, b: None, like, params)
+    save_pytree(args.out, params)
+    print(f"converted {args.ckpt} -> {args.out}")
+
+
 def cmd_sample(args):
     import jax
     import jax.numpy as jnp
@@ -315,6 +333,12 @@ def main(argv=None):
     sp.add_argument("--logdir", default="logs")
     sp.add_argument("--seed", type=int, default=1234)
     sp.set_defaults(fn=cmd_calibrate)
+
+    sp = sub.add_parser("convert")
+    sp.add_argument("--task", required=True)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_convert)
 
     sp = sub.add_parser("sample")
     sp.add_argument("--task", required=True)

@@ -406,7 +406,9 @@ class DDIMUNet(QuantModelBase):
             "down": {}, "mid": {}, "up": {},
         }
         for i, lvl in enumerate(self.down_plan):
-            d: dict = {"block": {}, "attn": {}}
+            d: dict = {"block": {}}
+            if lvl["attn"]:
+                d["attn"] = {}
             for j, plan in enumerate(lvl["blocks"]):
                 d["block"][str(j)] = resnet(plan)
                 if lvl["attn"]:
@@ -424,7 +426,9 @@ class DDIMUNet(QuantModelBase):
         }
         for i in range(self.num_resolutions):
             lvl = self.up_plan[i]
-            d = {"block": {}, "attn": {}}
+            d = {"block": {}}
+            if lvl["attn"]:
+                d["attn"] = {}
             for j, plan in enumerate(lvl["blocks"]):
                 d["block"][str(j)] = resnet(plan)
                 if lvl["attn"]:

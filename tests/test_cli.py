@@ -71,3 +71,42 @@ def test_sample_dp_flag(tmp_path):
     cli.main(["sample", "--task", "tiny", "--n", "8", "--batch", "8",
               "--dp", "--out", str(out)])
     assert len(list(out.glob("*.png"))) == 8
+
+
+def test_convert_torch_checkpoint(tmp_path):
+    """convert: reference torch state_dict -> native npz, then sample from
+    the converted file."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    ref_path = Path("/root/reference")
+    if not ref_path.exists():
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, str(ref_path))
+    import types
+
+    from ddim.models.diffusion import Model
+
+    cfg = TINY_TASK.unet_ddim
+    ns = lambda **kw: types.SimpleNamespace(**kw)
+    config = ns(
+        model=ns(type="simple", in_channels=3, out_ch=3, ch=cfg.ch,
+                 ch_mult=list(cfg.ch_mult), num_res_blocks=cfg.num_res_blocks,
+                 attn_resolutions=list(cfg.attn_resolutions), dropout=0.0,
+                 resamp_with_conv=True),
+        data=ns(image_size=cfg.resolution),
+        diffusion=ns(num_diffusion_timesteps=100), split_shortcut=False)
+    torch.manual_seed(0)
+    m = Model(config)
+    ckpt = tmp_path / "fp.pth"
+    torch.save(m.state_dict(), ckpt)
+
+    out = tmp_path / "params.npz"
+    cli.main(["convert", "--task", "tiny", "--ckpt", str(ckpt),
+              "--out", str(out)])
+    assert out.exists()
+
+    samples = tmp_path / "converted_samples"
+    cli.main(["sample", "--task", "tiny", "--ckpt", str(out),
+              "--n", "2", "--batch", "2", "--out", str(samples)])
+    assert len(list(samples.glob("*.png"))) == 2
