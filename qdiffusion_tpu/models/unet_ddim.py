@@ -275,16 +275,13 @@ class DDIMUNet(QuantModelBase):
         q = q.reshape(b, hh * ww, c)
         k = k.reshape(b, hh * ww, c)
         v = v.reshape(b, hh * ww, c)
-        q = ctx.act_quant(name, "q", q, self.policy.aq)
-        k = ctx.act_quant(name, "k", k, self.policy.aq)
-        w = jnp.einsum("bic,bjc->bij", q, k,
-                       preferred_element_type=jnp.float32)
+        w = ctx.act_matmul(name, "q", "k", "bic,bjc->bij", q, k,
+                           self.policy.aq, self.policy.aq)
         w = w * (int(c) ** -0.5)
         w = jax.nn.softmax(w, axis=2)
-        v = ctx.act_quant(name, "v", v, self.policy.aq)
-        w = ctx.act_quant(name, "sm", w.astype(x.dtype), self.policy.sm_aq)
-        hout = jnp.einsum("bij,bjc->bic", w, v,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
+        hout = ctx.act_matmul(name, "sm", "v", "bij,bjc->bic",
+                              w.astype(x.dtype), v, self.policy.sm_aq,
+                              self.policy.aq).astype(x.dtype)
         hout = hout.reshape(b, hh, ww, c)
         hout = qconv2d(ctx, f"{name}.proj_out", p["proj_out"], hout,
                        self._layer_cfgs[f"{name}.proj_out"], padding="VALID")

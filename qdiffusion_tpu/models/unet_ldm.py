@@ -407,18 +407,14 @@ class LDMUNet(QuantModelBase):
     def _qk_matmul(self, ctx: QuantCtx, q: Array, k: Array, plan: dict) -> Array:
         """q, k: (B, T, H, c), already scaled by 1/sqrt(sqrt(c))."""
         site = f"{plan['name']}.attention.qkv_matmul"
-        q = ctx.act_quant(site, "q", q, self.policy.aq)
-        k = ctx.act_quant(site, "k", k, self.policy.aq)
-        return jnp.einsum("bthc,bshc->bhts", q, k,
-                          preferred_element_type=jnp.float32)
+        return ctx.act_matmul(site, "q", "k", "bthc,bshc->bhts", q, k,
+                              self.policy.aq, self.policy.aq)
 
     def _smv_matmul(self, ctx: QuantCtx, w: Array, v: Array, plan: dict) -> Array:
         """w: (B, H, T, S) attention weights; v: (B, S, H, c)."""
         site = f"{plan['name']}.attention.smv_matmul"
-        w = ctx.act_quant(site, "sm", w, self.policy.sm_aq_smv)
-        v = ctx.act_quant(site, "v", v, self.policy.aq)
-        a = jnp.einsum("bhts,bshc->bthc", w, v,
-                       preferred_element_type=jnp.float32)
+        a = ctx.act_matmul(site, "sm", "v", "bhts,bshc->bthc", w, v,
+                           self.policy.sm_aq_smv, self.policy.aq)
         return a.reshape(*a.shape[:2], -1)
 
     def _attnblock_qkv(self, p: dict, ctx: QuantCtx, xt: Array, name: str) -> Array:
@@ -467,20 +463,17 @@ class LDMUNet(QuantModelBase):
             return (xt + h_out).reshape(b, hh, ww, c)
         else:
             site = name
-            qs = ctx.act_quant(site, "q", q * scale, self.policy.aq)
-            ks = ctx.act_quant(site, "k", k * scale, self.policy.aq)
-            w = jnp.einsum("bthc,bshc->bhts", qs, ks,
-                           preferred_element_type=jnp.float32)
+            w = ctx.act_matmul(site, "q", "k", "bthc,bshc->bhts",
+                               q * scale, k * scale,
+                               self.policy.aq, self.policy.aq)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
         if self.act_quant_partition:
             a = self._unit_call(
                 ctx, f"{name}.attention.smv_matmul",
                 lambda w, v: self._smv_matmul(ctx, w, v, plan), w, v)
         else:
-            ws = ctx.act_quant(name, "sm", w, self.policy.sm_aq_smv)
-            vs = ctx.act_quant(name, "v", v, self.policy.aq)
-            a = jnp.einsum("bhts,bshc->bthc", ws, vs,
-                           preferred_element_type=jnp.float32)
+            a = ctx.act_matmul(name, "sm", "v", "bhts,bshc->bthc", w, v,
+                               self.policy.sm_aq_smv, self.policy.aq)
             a = a.reshape(b, t, heads * ch)
         a = a.astype(x.dtype)
         proj = lambda a: self._attnblock_proj(p, ctx, a, name)
@@ -509,11 +502,11 @@ class LDMUNet(QuantModelBase):
         k = k.reshape(b, tk, heads, d)
         v = v.reshape(b, tk, heads, d)
         scale = d ** -0.5
-        qq = ctx.act_quant(site, "q", q, self.policy.aq)
-        kq = ctx.act_quant(site, "k", k, self.policy.aq)
         if self._use_blockwise(ctx, tq):
             from qdiffusion_tpu.ops.attention import blockwise_attention
 
+            qq = ctx.act_quant(site, "q", q, self.policy.aq)
+            kq = ctx.act_quant(site, "k", k, self.policy.aq)
             sm_st = ctx.get_state(site, "sm")
             v_st = ctx.get_state(site, "v")
             act_on = ctx.mode.a
@@ -523,13 +516,12 @@ class LDMUNet(QuantModelBase):
                 if act_on and sm_st else None,
                 v_q=(v_st, self.policy.aq) if act_on and v_st else None)
         else:
-            sim = jnp.einsum("bihd,bjhd->bhij", qq, kq,
-                             preferred_element_type=jnp.float32) * scale
+            sim = ctx.act_matmul(site, "q", "k", "bihd,bjhd->bhij", q, k,
+                                 self.policy.aq, self.policy.aq) * scale
             attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-            wq = ctx.act_quant(site, "sm", attn, self.policy.sm_aq_transformer)
-            vq = ctx.act_quant(site, "v", v, self.policy.aq)
-            out = jnp.einsum("bhij,bjhd->bihd", wq, vq,
-                             preferred_element_type=jnp.float32).astype(x.dtype)
+            out = ctx.act_matmul(site, "sm", "v", "bhij,bjhd->bihd", attn, v,
+                                 self.policy.sm_aq_transformer,
+                                 self.policy.aq).astype(x.dtype)
         out = out.reshape(b, tq, inner)
         return qdense(ctx, f"{site}.to_out.0", sp["to_out"]["0"], out,
                       self._layer_cfgs[f"{site}.to_out.0"])

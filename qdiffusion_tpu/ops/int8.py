@@ -216,6 +216,75 @@ def int8_conv2d(x: Array, packed: PackedWeight, *, stride=1,
     return acc.astype(out_dtype)
 
 
+def _quantize_dynamic(x: Array, st: dict, spec: AffineQuantizerSpec):
+    """Activation -> (recentred int8, cx) from a calibrated state dict."""
+    n_levels = spec.n_levels
+    xf = x.astype(jnp.float32)
+    x_int = jnp.round(xf / st["delta"]) + st["zero_point"]
+    if spec.symmetric:
+        x_q = jnp.clip(x_int, -n_levels - 1, n_levels)
+        center = 0.0
+    else:
+        x_q = jnp.clip(x_int, 0, n_levels - 1)
+        center = float(2 ** (spec.n_bits - 1))
+    cx = center - jnp.asarray(st["zero_point"], jnp.float32)
+    return (x_q - center).astype(jnp.int8), cx
+
+
+def int8_einsum(eq: str, a: Array, b: Array, a_st: dict, b_st: dict,
+                a_spec: AffineQuantizerSpec, b_spec: AffineQuantizerSpec,
+                out_dtype=None) -> Array:
+    """Integer einsum between two dynamically-quantized activations,
+    bit-consistent with fake_quant(a) . fake_quant(b).
+
+    Used for the attention matmuls of the deployed int8 engine (QK^T and
+    attention-weights x V) — the reference only ever simulates these in
+    fp32. Expansion of (a_c + ca)(b_c + cb) over the contracted labels:
+
+        y = a_c.b_c + ca*S(b_c) + cb*S(a_c) + ca*cb*K
+
+    where S(.) sums over the contracted axes and broadcasts into the output
+    (per-tensor quantizers => ca, cb are scalars). Requires both operand
+    grids to fit int8 (n_bits <= 8).
+    """
+    assert a_spec.n_bits <= 8 and b_spec.n_bits <= 8
+    out_dtype = out_dtype or a.dtype
+    lhs, out_lbl = eq.split("->")
+    a_lbl, b_lbl = lhs.split(",")
+    contracted = [c for c in a_lbl if c in b_lbl and c not in out_lbl]
+    k_elems = 1.0
+    for c in contracted:
+        k_elems *= a.shape[a_lbl.index(c)]
+
+    a_c, ca = _quantize_dynamic(a, a_st, a_spec)
+    b_c, cb = _quantize_dynamic(b, b_st, b_spec)
+
+    y = jnp.einsum(eq, a_c, b_c,
+                   preferred_element_type=jnp.int32).astype(jnp.float32)
+
+    def reduced_to_out(x_c, lbl):
+        """sum x_c over its contracted axes, expanded to the output rank."""
+        axes = tuple(i for i, c in enumerate(lbl) if c in contracted)
+        s = jnp.sum(x_c.astype(jnp.float32), axis=axes)
+        kept = [c for c in lbl if c not in contracted]
+        # insert singleton dims for output labels this operand lacks
+        for i, c in enumerate(out_lbl):
+            if c not in kept:
+                s = jnp.expand_dims(s, i)
+                kept.insert(i, c)
+        # transpose if kept order differs from out order (kept == out here
+        # for all supported equations; guard anyway)
+        if kept != list(out_lbl):
+            s = jnp.einsum(f"{''.join(kept)}->{out_lbl}", s)
+        return s
+
+    y = (y + ca * reduced_to_out(b_c, b_lbl) + cb * reduced_to_out(a_c, a_lbl)
+         + ca * cb * k_elems)
+    scale = (jnp.asarray(a_st["delta"], jnp.float32)
+             * jnp.asarray(b_st["delta"], jnp.float32))
+    return (y * scale).astype(out_dtype)
+
+
 def int8_dense(x: Array, packed: PackedWeight, out_dtype=None) -> Array:
     """Integer dense matching qdense's fake-quant semantics."""
     out_dtype = out_dtype or x.dtype

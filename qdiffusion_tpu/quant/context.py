@@ -132,6 +132,29 @@ class QuantCtx:
             return x
         return fake_quant(x, st["delta"], st["zero_point"], spec)
 
+    def act_matmul(self, name: str, slot_a: str, slot_b: str, eq: str,
+                   a, b, spec_a: AffineQuantizerSpec,
+                   spec_b: AffineQuantizerSpec):
+        """Quantized activation x activation einsum site (attention QK^T /
+        weights x V). On the int8 engine with calibrated states and <=8-bit
+        grids, runs the MXU in int8 (ops/int8.py::int8_einsum); otherwise
+        fake-quants both operands and einsums — identical semantics.
+        """
+        st_a = self._get(name, slot_a)
+        st_b = self._get(name, slot_b)
+        import jax.numpy as jnp
+
+        if (self.engine == "int8" and self.mode.a and self.collect is None
+                and st_a is not None and st_b is not None
+                and spec_a.n_bits <= 8 and spec_b.n_bits <= 8):
+            from qdiffusion_tpu.ops.int8 import int8_einsum
+
+            return int8_einsum(eq, a, b, st_a, st_b, spec_a, spec_b,
+                               out_dtype=jnp.float32)
+        aq = self.act_quant(name, slot_a, a, spec_a)
+        bq = self.act_quant(name, slot_b, b, spec_b)
+        return jnp.einsum(eq, aq, bq, preferred_element_type=jnp.float32)
+
     def get_state(self, name: str, slot: str) -> Optional[dict]:
         """Public read access to a quantizer's state (e.g. for fused kernels
         that take the calibrated deltas directly)."""

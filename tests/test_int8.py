@@ -160,3 +160,59 @@ def test_fold_engine_matches_weight_only_sim():
     got = model.apply(folded, x, t)
     np.testing.assert_allclose(np.asarray(got), np.asarray(sim),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("eq,sa,sb", [
+    ("bic,bjc->bij", (2, 10, 16), (2, 12, 16)),
+    ("bij,bjc->bic", (2, 10, 12), (2, 12, 16)),
+    ("bthc,bshc->bhts", (2, 10, 4, 8), (2, 12, 4, 8)),
+    ("bhts,bshc->bthc", (2, 4, 10, 12), (2, 12, 4, 8)),
+    ("bihd,bjhd->bhij", (2, 10, 4, 8), (2, 12, 4, 8)),
+    ("bhij,bjhd->bihd", (2, 4, 10, 12), (2, 12, 4, 8)),
+])
+def test_int8_einsum_matches_fake_quant(eq, sa, sb):
+    """Integer activation x activation einsum (attention matmuls) is
+    bit-consistent with fake-quanting both operands then einsumming."""
+    from qdiffusion_tpu.ops.int8 import int8_einsum
+    from qdiffusion_tpu.quant.affine import fake_quant, init_state
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=sa).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=sb).astype(np.float32))
+    spec = AffineQuantizerSpec(n_bits=8, scale_method="max", leaf_param=True)
+    sm_spec = AffineQuantizerSpec(n_bits=8, always_zero=True,
+                                  scale_method="max", leaf_param=True)
+    a_spec = sm_spec if eq.startswith(("bij", "bhts", "bhij")) else spec
+    if a_spec is sm_spec:
+        a = jax.nn.softmax(a, axis=-1)  # post-softmax operand
+    a_st = init_state(a, a_spec)
+    b_st = init_state(b, spec)
+
+    ref = jnp.einsum(eq, fake_quant(a, a_st["delta"], a_st["zero_point"],
+                                    a_spec),
+                     fake_quant(b, b_st["delta"], b_st["zero_point"], spec),
+                     preferred_element_type=jnp.float32)
+    got = int8_einsum(eq, a, b, a_st, b_st, a_spec, spec,
+                      out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_int8_engine_uses_integer_attention():
+    """With the int8 engine, attention matmul sites run integer einsums
+    (jaxpr contains int8-operand dot_generals beyond the convs)."""
+    model = DDIMUNet(DDIMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                                    attn_resolutions=(8,), resolution=16))
+    params = model.init_params(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.full((2,), 300.0)
+    qstate = init_weight_qstate(model, params)
+    qstate = init_act_qstate(model, params, qstate, x, t)
+
+    sim = model.apply(params, x, t,
+                      QuantCtx(qstate, mode=QuantMode(w=True, a=True)))
+    step = make_quantized_step(model, params, qstate, engine="int8",
+                               carrier_dtype=jnp.float32)
+    got = step(x, t)
+    rel = float(jnp.linalg.norm(got - sim) / jnp.linalg.norm(sim))
+    assert rel < 0.02
