@@ -112,7 +112,6 @@ def cmd_make_cali_data(args):
             image_size=task.image_size, channels=task.channels, rng=rng,
             return_trajectory=True)
     else:
-        vae_params = None  # latents only; no decode needed
         _, traj = pipe.sample(
             params, None, args.n,
             sampler=task.sampler.sample_type

@@ -10,13 +10,16 @@ Three engines:
              fake-quant model.
   * 'int8' — real integer kernels (ops/int8.py) for every conv/dense with a
              calibrated activation quantizer; attention matmuls and
-             unquantized layers fall back to simulation. Runs the MXU in
-             int8 (2x bf16 peak on v5e).
+             unquantized layers fall back to simulation. Note: on the
+             current v5e stack int8 MXU issue runs at ~bf16 rate (measured;
+             see docs/ROADMAP.md "Known performance facts"), so this engine
+             trades a little speed for integer-exact arithmetic; 'fold' is
+             the fast deployment.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
