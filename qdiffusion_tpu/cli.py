@@ -66,7 +66,12 @@ def build_model_and_pipeline(task, qflags=None, act_quant=False):
     policy = qflags.policy_ldm() if qflags else None
     model = LDMUNet(cfg, policy, act_quant_partition=act_quant)
     vae = VAE(task.vae)
-    text = CLIPTextEncoder() if task.family == "sd" else None
+    if task.family == "sd":
+        from qdiffusion_tpu.models.clip_text import CLIPTextConfig
+
+        text = CLIPTextEncoder(task.clip or CLIPTextConfig())
+    else:
+        text = None
     pipe = LatentDiffusionPipeline(
         unet=model, vae=vae, schedule=sched,
         scale_factor=task.scale_factor,
@@ -94,6 +99,83 @@ def load_fp_params(path: str, task, model):
     raise ValueError(f"unknown checkpoint format: {path}")
 
 
+def load_clip_params(args, task):
+    """CLIP text-tower params for SD conditioning.
+
+    Default source is the main SD checkpoint (the reference keeps the text
+    tower inside it under cond_stage_model.transformer.,
+    ldm/modules/encoders/modules.py:139); --clip-ckpt overrides."""
+    from qdiffusion_tpu.models.clip_text import convert_hf_clip_text
+    from qdiffusion_tpu.utils.checkpoints import load_torch_checkpoint
+
+    path = getattr(args, "clip_ckpt", None) or args.ckpt
+    if not path:
+        raise SystemExit("--prompt needs CLIP weights: pass --ckpt (SD "
+                         "checkpoint) or --clip-ckpt")
+    if Path(path).suffix == ".npz":  # native converted tree, torch-free
+        from qdiffusion_tpu.utils.checkpoints import load_nested
+
+        return load_nested(path)
+    sd = load_torch_checkpoint(path, subtree="cond_stage_model.transformer.")
+    if not sd:  # a standalone HF CLIPTextModel state_dict
+        sd = load_torch_checkpoint(path)
+    return convert_hf_clip_text(sd)
+
+
+def build_conditioning(args, task, pipe):
+    """Prompt strings (or precomputed token ids) -> (cond, uncond) context
+    rows, shape (P, 77, D) / (1, 77, D); None for non-text tasks.
+
+    Mirrors the reference txt2img flow: tokenize prompt + empty-string
+    uncond, run both through the frozen CLIP text tower
+    (scripts/txt2img.py:236-241 + :538-541)."""
+    import jax.numpy as jnp
+
+    if task.family != "sd":
+        return None, None
+    token_ids = getattr(args, "token_ids", None)
+    prompts = getattr(args, "prompt", None)
+    if token_ids:
+        data = np.load(token_ids)
+        cond_ids, uncond_ids = data["cond"], data["uncond"]
+    elif prompts:
+        from qdiffusion_tpu.models.clip_tokenizer import CLIPTokenizer
+
+        tdir = getattr(args, "tokenizer_dir", None)
+        if not tdir:
+            raise SystemExit("--prompt needs --tokenizer-dir containing "
+                             "vocab.json + merges.txt (see docs/PARITY.md)")
+        tdir = Path(tdir)
+        tok = CLIPTokenizer(tdir / "vocab.json", tdir / "merges.txt")
+        cond_ids = tok(prompts, max_length=77)
+        uncond_ids = tok([getattr(args, "negative_prompt", "") or ""],
+                         max_length=77)
+    else:
+        logger.warning("sd task without --prompt/--token-ids: sampling "
+                       "UNCONDITIONALLY (no CFG)")
+        return None, None
+    clip_params = load_clip_params(args, task)
+    cond = pipe.get_learned_conditioning(clip_params, jnp.asarray(cond_ids))
+    uncond = pipe.get_learned_conditioning(clip_params,
+                                           jnp.asarray(uncond_ids))
+    return cond, uncond
+
+
+def tile_conditioning(cond, uncond, n):
+    """Expand (P, L, D) prompt rows to a batch of n (single prompt tiles;
+    P>1 requires n % P == 0, reference txt2img n_samples-per-prompt)."""
+    import jax.numpy as jnp
+
+    if cond is None:
+        return None, None
+    if n % cond.shape[0] != 0:
+        raise SystemExit(f"batch {n} not divisible by {cond.shape[0]} prompts")
+    cond_n = jnp.tile(cond, (n // cond.shape[0], 1, 1))
+    uncond_n = jnp.tile(uncond, (n // uncond.shape[0], 1, 1)) \
+        if uncond is not None else None
+    return cond_n, uncond_n
+
+
 def cmd_make_cali_data(args):
     import jax
 
@@ -112,6 +194,8 @@ def cmd_make_cali_data(args):
             image_size=task.image_size, channels=task.channels, rng=rng,
             return_trajectory=True)
     else:
+        cond, uncond = build_conditioning(args, task, pipe)
+        cond, uncond = tile_conditioning(cond, uncond, args.n)
         _, traj = pipe.sample(
             params, None, args.n,
             sampler=task.sampler.sample_type
@@ -119,6 +203,9 @@ def cmd_make_cali_data(args):
             steps=args.timesteps or task.sampler.timesteps,
             eta=task.sampler.eta, latent_size=task.latent_size,
             latent_channels=task.latent_channels, rng=rng, decode=False,
+            cond=cond, uncond=uncond,
+            guidance_scale=args.scale if args.scale is not None
+            else task.sampler.guidance_scale,
             return_trajectory=True)
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -235,6 +322,9 @@ def cmd_sample(args):
             params = fold_weights(model, params, qstate)
             qstate, mode = None, None
 
+    cond, uncond = build_conditioning(args, task, pipe) \
+        if task.family == "sd" else (None, None)
+
     out_dir = Path(args.out)
     rng = jax.random.PRNGKey(args.seed)
     batch = args.batch
@@ -251,6 +341,7 @@ def cmd_sample(args):
                     n_dev, batch)
     idx = 0
     tput = Throughput()
+    all_images = [] if args.npz_out else None
     while idx < args.n:
         n = min(batch, args.n - idx)
         rng, sub = jax.random.split(rng)
@@ -265,16 +356,35 @@ def cmd_sample(args):
             imgs = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
         else:
             vae_params = load_vae_params(args, task)
+            cond_n, uncond_n = tile_conditioning(cond, uncond, n)
             imgs, _ = pipe.sample(
                 params, vae_params, n,
                 sampler=args.sampler or task.sampler.sample_type,
                 steps=args.timesteps or task.sampler.timesteps,
                 eta=task.sampler.eta, latent_size=task.latent_size,
                 latent_channels=task.latent_channels, rng=sub,
-                guidance_scale=task.sampler.guidance_scale,
+                cond=cond_n, uncond=uncond_n,
+                guidance_scale=args.scale if args.scale is not None
+                else task.sampler.guidance_scale,
                 qstate=qstate, mode=mode, model_fn=model_fn)
         tput.log(n)
+        if all_images is not None:
+            all_images.append(
+                (np.asarray(imgs) * 255.0).astype(np.uint8))
         idx = save_images_png(imgs, out_dir, idx)
+    if all_images is not None:
+        # bulk uint8 dump for FID tooling, reference
+        # scripts/sample_diffusion_ldm.py:160-164 ({N}x{H}x{W}x{C}-samples.npz)
+        all_img = np.concatenate(all_images, axis=0)[: args.n]
+        npdir = Path(args.npz_out)
+        if npdir.suffix == ".npz":
+            nppath = npdir
+        else:
+            shape_str = "x".join(str(s) for s in all_img.shape)
+            nppath = npdir / f"{shape_str}-samples.npz"
+        nppath.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(nppath, all_img)
+        print(f"wrote bulk dump {all_img.shape} -> {nppath}")
     print(f"wrote {idx} images to {out_dir}")
 
 
@@ -284,6 +394,10 @@ def load_vae_params(args, task):
 
     if not getattr(args, "vae_ckpt", None):
         raise SystemExit("--vae-ckpt required for latent-space tasks")
+    if Path(args.vae_ckpt).suffix == ".npz":  # native tree, torch-free
+        from qdiffusion_tpu.utils.checkpoints import load_nested
+
+        return load_nested(args.vae_ckpt)
     sd = load_torch_checkpoint(args.vae_ckpt, subtree="first_stage_model.")
     if not sd:
         sd = load_torch_checkpoint(args.vae_ckpt)
@@ -307,6 +421,21 @@ def main(argv=None):
         sp.add_argument("--a-min-max", action="store_true",
                         help="act scale init 'max' instead of 'mse' (LDM)")
 
+    def add_prompt_flags(sp):
+        sp.add_argument("--prompt", action="append",
+                        help="text prompt (repeatable; SD tasks)")
+        sp.add_argument("--negative-prompt", default="",
+                        help="CFG negative prompt (default: empty string)")
+        sp.add_argument("--token-ids",
+                        help="npz with precomputed 'cond'/'uncond' CLIP ids "
+                             "(alternative to --prompt)")
+        sp.add_argument("--tokenizer-dir",
+                        help="dir with CLIP vocab.json + merges.txt")
+        sp.add_argument("--clip-ckpt",
+                        help="CLIP text weights (default: the SD --ckpt)")
+        sp.add_argument("--scale", type=float,
+                        help="CFG guidance scale (default: task preset)")
+
     sp = sub.add_parser("make-cali-data")
     sp.add_argument("--task", required=True)
     sp.add_argument("--ckpt")
@@ -314,6 +443,7 @@ def main(argv=None):
     sp.add_argument("--timesteps", type=int)
     sp.add_argument("--seed", type=int, default=1234)
     sp.add_argument("--out", required=True)
+    add_prompt_flags(sp)
     sp.set_defaults(fn=cmd_make_cali_data)
 
     sp = sub.add_parser("calibrate")
@@ -353,8 +483,12 @@ def main(argv=None):
     sp.add_argument("--timesteps", type=int)
     sp.add_argument("--seed", type=int, default=1234)
     sp.add_argument("--out", default="samples")
+    sp.add_argument("--npz-out",
+                    help="also dump all samples as one uint8 npz (dir -> "
+                         "NxHxWxC-samples.npz, or an explicit .npz path)")
     sp.add_argument("--dp", action="store_true",
                     help="shard the sampling batch over all devices")
+    add_prompt_flags(sp)
     sp.set_defaults(fn=cmd_sample)
 
     args = p.parse_args(argv)

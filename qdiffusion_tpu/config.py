@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+from qdiffusion_tpu.models.clip_text import CLIPTextConfig
 from qdiffusion_tpu.models.unet_ddim import DDIMUNetConfig, QuantPolicy
 from qdiffusion_tpu.models.unet_ldm import LDMQuantPolicy, LDMUNetConfig
 from qdiffusion_tpu.models.vae import VAEConfig
@@ -108,6 +109,7 @@ class TaskConfig:
     unet_ldm: Optional[LDMUNetConfig] = None
     vae: Optional[VAEConfig] = None
     conditioning_key: Optional[str] = None
+    clip: Optional["CLIPTextConfig"] = None  # text tower ('sd' family)
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +169,7 @@ SD_V1 = TaskConfig(
                            transformer_depth=1, context_dim=768),
     vae=VAEConfig(ch=128, out_ch=3, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
                   attn_resolutions=(), in_channels=3, resolution=256,
-                  z_channels=4, double_z=True, embed_dim=4))
+                  z_channels=4, double_z=True, embed_dim=4),
+    clip=CLIPTextConfig())
 
 PRESETS = {c.name: c for c in (CIFAR10, LSUN_BEDS256, LSUN_CHURCHES256, SD_V1)}

@@ -87,6 +87,97 @@ class VAE:
         self.num_resolutions = len(cfg.ch_mult)
         self.attn_at = set(cfg.attn_resolutions)
 
+    # -- init -------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array) -> dict:
+        """Random param tree with the exact structure decode/encode expect
+        (channel progression mirrors the reference Encoder/Decoder,
+        ldm/modules/diffusionmodules/model.py:368-545). Real weights come
+        from torch_import; this exists for tests/demos and API symmetry
+        with the UNets."""
+        cfg = self.cfg
+        counter = [0]
+
+        def key():
+            counter[0] += 1
+            return jax.random.fold_in(rng, counter[0])
+
+        def conv(ci, co, k=3):
+            fan = k * k * ci
+            return {"w": jax.random.normal(key(), (k, k, ci, co)) / fan**0.5,
+                    "b": jnp.zeros((co,))}
+
+        def norm(c):
+            return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+        def resnet(ci, co):
+            p = {"norm1": norm(ci), "conv1": conv(ci, co),
+                 "norm2": norm(co), "conv2": conv(co, co)}
+            if ci != co:
+                p["nin_shortcut"] = conv(ci, co, 1)
+            return p
+
+        def attn(c):
+            return {"norm": norm(c), "q": conv(c, c, 1), "k": conv(c, c, 1),
+                    "v": conv(c, c, 1), "proj_out": conv(c, c, 1)}
+
+        n_res = self.num_resolutions
+        in_mult = (1,) + tuple(cfg.ch_mult)
+        # encoder
+        enc: dict = {"conv_in": conv(cfg.in_channels, cfg.ch), "down": {}}
+        curr_res = cfg.resolution
+        for i in range(n_res):
+            ci, co = cfg.ch * in_mult[i], cfg.ch * cfg.ch_mult[i]
+            lvl: dict = {"block": {}, "attn": {}}
+            for j in range(cfg.num_res_blocks):
+                lvl["block"][str(j)] = resnet(ci if j == 0 else co, co)
+                if curr_res in self.attn_at:
+                    lvl["attn"][str(j)] = attn(co)
+            if i != n_res - 1:
+                lvl["downsample"] = {"conv": conv(co, co)}
+                curr_res //= 2
+            if not lvl["attn"]:
+                del lvl["attn"]
+            enc["down"][str(i)] = lvl
+        cm = cfg.ch * cfg.ch_mult[-1]
+        enc["mid"] = {"block_1": resnet(cm, cm), "attn_1": attn(cm),
+                      "block_2": resnet(cm, cm)}
+        enc["norm_out"] = norm(cm)
+        z_out = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+        enc["conv_out"] = conv(cm, z_out)
+        # decoder
+        dec: dict = {"conv_in": conv(cfg.z_channels, cm),
+                     "mid": {"block_1": resnet(cm, cm), "attn_1": attn(cm),
+                             "block_2": resnet(cm, cm)},
+                     "up": {}}
+        ci = cm
+        curr_res = cfg.resolution // 2 ** (n_res - 1)
+        for i in reversed(range(n_res)):
+            co = cfg.ch * cfg.ch_mult[i]
+            lvl = {"block": {}, "attn": {}}
+            for j in range(cfg.num_res_blocks + 1):
+                lvl["block"][str(j)] = resnet(ci if j == 0 else co, co)
+                if curr_res in self.attn_at:
+                    lvl["attn"][str(j)] = attn(co)
+            if i != 0:
+                lvl["upsample"] = {"conv": conv(co, co)}
+                curr_res *= 2
+            if not lvl["attn"]:
+                del lvl["attn"]
+            dec["up"][str(i)] = lvl
+            ci = co
+        dec["norm_out"] = norm(ci)
+        dec["conv_out"] = conv(ci, cfg.out_ch)
+        params = {"encoder": enc, "decoder": dec,
+                  "quant_conv": conv(z_out, 2 * cfg.embed_dim
+                                     if cfg.double_z else cfg.embed_dim, 1),
+                  "post_quant_conv": conv(cfg.embed_dim, cfg.z_channels, 1)}
+        if cfg.n_embed is not None:
+            params["quantize"] = {"embedding": {
+                "weight": jax.random.normal(key(),
+                                            (cfg.n_embed, cfg.embed_dim))}}
+        return params
+
     # -- decoder --------------------------------------------------------
 
     def decode(self, params: dict, z: Array,

@@ -63,6 +63,38 @@ def load_pytree_orbax(path, like=None):
 # ---------------------------------------------------------------------------
 
 
+def save_nested(path, tree: dict) -> None:
+    """Arbitrary-depth nested dict of arrays -> self-describing npz with
+    '/'-joined keys (param names never contain '/'). Unlike save_pytree the
+    result is loadable without a `like` structure — used for VAE/CLIP param
+    files so deployments don't need torch."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", tree)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_nested(path) -> dict:
+    data = np.load(Path(path), allow_pickle=False)
+    tree: dict = {}
+    for key in data.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
 def save_qstate(path, qstate: dict) -> None:
     """qstate: {site: {slot: {leaf: array}}} -> npz with '/'-joined keys."""
     flat = {}

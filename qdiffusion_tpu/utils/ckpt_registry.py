@@ -27,6 +27,16 @@ CKPT_URLS = {
     "ema_lsun_church": _BASE.format("44f985466d13e6b2e2a9"),
 }
 
+# CLIP tokenizer artifacts for SD prompts (models/clip_tokenizer.py): the
+# two files HF ships for openai/clip-vit-large-patch14. Pass their directory
+# to the CLI as --tokenizer-dir.
+TOKENIZER_URLS = {
+    "vocab.json": ("https://huggingface.co/openai/clip-vit-large-patch14/"
+                   "resolve/main/vocab.json"),
+    "merges.txt": ("https://huggingface.co/openai/clip-vit-large-patch14/"
+                   "resolve/main/merges.txt"),
+}
+
 CKPT_MD5 = {
     "cifar10": "82ed3067fd1002f5cf4c339fb80c4669",
     "ema_cifar10": "1fa350b952534ae442b1d5235cce5cd3",

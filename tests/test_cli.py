@@ -65,6 +65,18 @@ def test_full_cli_flow(tmp_path):
     assert len(list(out2.glob("*.png"))) == 2
 
 
+def test_sample_npz_dump(tmp_path):
+    """--npz-out writes the reference's bulk uint8 dump
+    (sample_diffusion_ldm.py:160-164 NxHxWxC-samples.npz)."""
+    out = tmp_path / "imgs"
+    cli.main(["sample", "--task", "tiny", "--n", "3", "--batch", "2",
+              "--out", str(out), "--npz-out", str(tmp_path / "np")])
+    files = list((tmp_path / "np").glob("*-samples.npz"))
+    assert len(files) == 1 and files[0].name == "3x8x8x3-samples.npz"
+    arr = np.load(files[0])["arr_0"]
+    assert arr.shape == (3, 8, 8, 3) and arr.dtype == np.uint8
+
+
 def test_sample_dp_flag(tmp_path):
     """--dp shards the sampling batch over the 8 virtual devices."""
     out = tmp_path / "dp_samples"
