@@ -282,6 +282,28 @@ def cmd_convert(args):
     print(f"converted {args.ckpt} -> {args.out}")
 
 
+def cmd_import_qstate(args):
+    """Calibrated reference torch checkpoint (QuantModel.state_dict) ->
+    native qstate npz (+ optionally the FP params it contains).
+    Replaces the reference's resume_cali_model (qdiff/utils.py:382-457)."""
+    from qdiffusion_tpu.config import PRESETS, QuantFlags
+    from qdiffusion_tpu.quant.torch_interop import import_reference_checkpoint
+    from qdiffusion_tpu.utils.checkpoints import save_qstate, save_pytree
+
+    task = PRESETS[args.task]
+    qflags = QuantFlags(weight_bit=args.weight_bit, quant_act=args.quant_act,
+                        act_bit=args.act_bit, a_sym=args.a_sym,
+                        sm_abit=args.sm_abit, split=args.split)
+    model, _ = build_model_and_pipeline(task, qflags, args.quant_act)
+    qstate, params = import_reference_checkpoint(
+        args.ckpt, model, want_params=bool(args.params_out))
+    save_qstate(args.out, qstate)
+    print(f"imported qstate ({len(qstate)} sites) -> {args.out}")
+    if args.params_out:
+        save_pytree(args.params_out, params)
+        print(f"extracted FP params -> {args.params_out}")
+
+
 def cmd_sample(args):
     import jax
     import jax.numpy as jnp
@@ -468,6 +490,16 @@ def main(argv=None):
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_convert)
+
+    sp = sub.add_parser("import-qstate")
+    sp.add_argument("--task", required=True)
+    sp.add_argument("--ckpt", required=True,
+                    help="calibrated reference ckpt (QuantModel.state_dict)")
+    sp.add_argument("--out", required=True, help="qstate npz output")
+    sp.add_argument("--params-out",
+                    help="also extract the FP param pytree to this npz")
+    add_quant_flags(sp)
+    sp.set_defaults(fn=cmd_import_qstate)
 
     sp = sub.add_parser("sample")
     sp.add_argument("--task", required=True)
