@@ -372,6 +372,8 @@ def cmd_sample(args):
                                timesteps=args.timesteps or task.sampler.timesteps,
                                skip_type=task.sampler.skip_type,
                                eta=task.sampler.eta,
+                               sample_type=args.sampler
+                               or task.sampler.sample_type,
                                image_size=task.image_size,
                                channels=task.channels, rng=sub,
                                qstate=qstate, mode=mode, model_fn=model_fn)
