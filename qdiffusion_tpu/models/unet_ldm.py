@@ -64,6 +64,7 @@ class LDMUNetConfig:
     context_dim: Optional[int] = None
     legacy: bool = True
     split_shortcut: bool = False
+    num_classes: Optional[int] = None  # class-conditional ('adm') models
 
     @property
     def time_embed_dim(self) -> int:
@@ -607,8 +608,10 @@ class LDMUNet(QuantModelBase):
 
     def apply(self, params: dict, x: Array, t: Array,
               ctx: Optional[QuantCtx] = None,
-              context: Optional[Array] = None) -> Array:
-        """Epsilon prediction. x: NHWC latents; t: (B,); context: (B, L, D)."""
+              context: Optional[Array] = None,
+              y: Optional[Array] = None) -> Array:
+        """Epsilon prediction. x: NHWC latents; t: (B,); context: (B, L, D);
+        y: (B,) int class labels (class-conditional models)."""
         ctx = ctx or QuantCtx()
         cfg = self.cfg
         temb = nn.timestep_embedding(t, cfg.model_channels,
@@ -616,6 +619,14 @@ class LDMUNet(QuantModelBase):
         emb = self._run_unit(params, ctx, "time_embed.0", temb)
         emb = nn.swish(emb)
         emb = self._run_unit(params, ctx, "time_embed.2", emb)
+        if cfg.num_classes is not None:
+            # label embedding added to the time embedding (reference
+            # openaimodel.py:761-763); label_emb.w is (D, num_classes)
+            # after the torch (N, D) Embedding transposes in torch_import
+            if y is None:
+                raise ValueError("class-conditional model needs y labels")
+            emb = emb + jnp.take(params["label_emb"]["w"], y,
+                                 axis=1).T.astype(emb.dtype)
 
         hs = []
         h = x
@@ -746,6 +757,9 @@ class LDMUNet(QuantModelBase):
                     "2": conv(cfg.model_channels, cfg.out_channels, 3,
                               zero=True)},
         }
+        if cfg.num_classes is not None:
+            params["label_emb"] = {"w": jax.random.normal(
+                next(keys), (cfg.time_embed_dim, cfg.num_classes), dtype)}
         for i, entry in enumerate(self.input_plan):
             params["input_blocks"][str(i)] = build_entry(entry)
         mid = build_entry(self.middle_plan)

@@ -90,7 +90,10 @@ class LatentDiffusionPipeline:
 
     def model_fn(self, params: dict, qstate: Optional[dict] = None,
                  mode: Optional[QuantMode] = None) -> Callable:
-        """(x, t, context) -> eps with conditioning dispatch."""
+        """(x, t, context) -> eps with conditioning dispatch
+        (DiffusionWrapper.forward, ddpm.py:1419-1445). For 'hybrid' the
+        context is a dict {'c_concat': ..., 'c_crossattn': ...}; for 'adm'
+        it is the (B,) int class labels fed to the label embedding."""
 
         def fn(x, t, context=None):
             ctx = QuantCtx(qstate, mode=mode) if qstate is not None else None
@@ -99,6 +102,12 @@ class LatentDiffusionPipeline:
             if self.conditioning_key == "concat":
                 xc = jnp.concatenate([x, context], axis=-1)
                 return self.unet.apply(params, xc, t, ctx)
+            if self.conditioning_key == "hybrid":
+                xc = jnp.concatenate([x, context["c_concat"]], axis=-1)
+                return self.unet.apply(params, xc, t, ctx,
+                                       context=context["c_crossattn"])
+            if self.conditioning_key == "adm":
+                return self.unet.apply(params, x, t, ctx, y=context)
             raise NotImplementedError(self.conditioning_key)
 
         return fn

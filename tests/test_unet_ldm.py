@@ -66,6 +66,7 @@ def _ref_unet(cfg: LDMUNetConfig):
         resblock_updown=cfg.resblock_updown,
         use_spatial_transformer=cfg.use_spatial_transformer,
         transformer_depth=cfg.transformer_depth, context_dim=cfg.context_dim,
+        num_classes=cfg.num_classes,
         dropout=0.0)
     m.eval()
     return m
@@ -158,3 +159,96 @@ def test_split_shortcut_output_blocks():
     model = LDMUNet(cfg)
     lc = model.layer_cfg("output_blocks.0.0.skip_connection")
     assert lc.split == 64  # ch flowing up at the deepest level
+
+
+ADM_TINY = LDMUNetConfig(
+    image_size=16, in_channels=3, out_channels=3, model_channels=32,
+    num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+    num_heads=4, num_classes=10)
+
+HYBRID_TINY = LDMUNetConfig(
+    image_size=16, in_channels=6, out_channels=4, model_channels=32,
+    num_res_blocks=1, attention_resolutions=(2,), channel_mult=(1, 2),
+    num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+    context_dim=24)
+
+
+def test_adm_class_conditional_parity():
+    """Class-conditional ('adm') forward: label_emb added to the time
+    embedding (reference openaimodel.py:761-763 + DiffusionWrapper 'adm'
+    branch, ddpm.py:1441-1443)."""
+    import torch
+
+    ref = _ref_unet(ADM_TINY)
+    # de-zero the zero_module-initialized convs so the output is non-trivial
+    # (otherwise the label-sensitivity check below is vacuous)
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(11)
+        for p in ref.parameters():
+            if p.ndim >= 2 and not p.abs().sum():
+                p.add_(0.02 * torch.randn(p.shape, generator=g))
+    params = state_dict_to_pytree(ref.state_dict())
+    rng = np.random.default_rng(0)
+    x_nchw = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    t_np = np.array([100.0, 700.0], dtype=np.float32)
+    labels = np.array([3, 7], dtype=np.int64)
+    with torch.no_grad():
+        out_ref = ref(torch.from_numpy(x_nchw), torch.from_numpy(t_np),
+                      y=torch.from_numpy(labels)).numpy()
+
+    model = LDMUNet(ADM_TINY)
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    ours = model.apply(params, x, jnp.asarray(t_np),
+                       y=jnp.asarray(labels, jnp.int32))
+    np.testing.assert_allclose(np.transpose(np.asarray(ours), (0, 3, 1, 2)),
+                               out_ref, rtol=2e-4, atol=2e-5)
+
+    # labels must actually condition the output
+    ours2 = model.apply(params, x, jnp.asarray(t_np),
+                        y=jnp.asarray([1, 2], jnp.int32))
+    assert not np.allclose(np.asarray(ours), np.asarray(ours2))
+
+    # pipeline dispatch ('adm': context = labels)
+    from qdiffusion_tpu.pipelines import LatentDiffusionPipeline
+    from qdiffusion_tpu.schedules import NoiseSchedule
+
+    pipe = LatentDiffusionPipeline(
+        unet=model, vae=None, schedule=NoiseSchedule.ldm("linear", 100, 0.00085, 0.012),
+        conditioning_key="adm")
+    fn = pipe.model_fn(params)
+    out_pipe = fn(x, jnp.asarray(t_np), jnp.asarray(labels, jnp.int32))
+    np.testing.assert_allclose(np.asarray(out_pipe), np.asarray(ours))
+
+
+def test_hybrid_dispatch_parity():
+    """'hybrid' = concat on channels + crossattn context, both at once
+    (DiffusionWrapper, ddpm.py:1436-1440)."""
+    import torch
+
+    ref = _ref_unet(HYBRID_TINY)
+    params = state_dict_to_pytree(ref.state_dict())
+    rng = np.random.default_rng(1)
+    z_nchw = rng.normal(size=(2, 4, 16, 16)).astype(np.float32)
+    cc_nchw = rng.normal(size=(2, 2, 16, 16)).astype(np.float32)
+    ctx_np = rng.normal(size=(2, 7, 24)).astype(np.float32)
+    t_np = np.array([50.0, 500.0], dtype=np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.cat([torch.from_numpy(z_nchw),
+                                 torch.from_numpy(cc_nchw)], dim=1),
+                      torch.from_numpy(t_np),
+                      context=torch.from_numpy(ctx_np)).numpy()
+
+    from qdiffusion_tpu.pipelines import LatentDiffusionPipeline
+    from qdiffusion_tpu.schedules import NoiseSchedule
+
+    model = LDMUNet(HYBRID_TINY)
+    pipe = LatentDiffusionPipeline(
+        unet=model, vae=None, schedule=NoiseSchedule.ldm("linear", 100, 0.00085, 0.012),
+        conditioning_key="hybrid")
+    fn = pipe.model_fn(params)
+    out = fn(jnp.asarray(np.transpose(z_nchw, (0, 2, 3, 1))),
+             jnp.asarray(t_np),
+             {"c_concat": jnp.asarray(np.transpose(cc_nchw, (0, 2, 3, 1))),
+              "c_crossattn": jnp.asarray(ctx_np)})
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               out_ref, rtol=2e-4, atol=2e-5)
