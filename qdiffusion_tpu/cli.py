@@ -343,6 +343,16 @@ def cmd_sample(args):
 
             params = fold_weights(model, params, qstate)
             qstate, mode = None, None
+        elif args.engine == "stream":
+            # weight-only deploy with int8 weights resident in HBM
+            step = make_quantized_step(model, params, qstate,
+                                       engine="stream")
+            if task.family == "pixel":
+                model_fn = step
+            else:
+                model_fn = lambda x, t, c=None: step(x, t, *(
+                    (c,) if c is not None else ()))
+            qstate, mode = None, None
 
     cond, uncond = build_conditioning(args, task, pipe) \
         if task.family == "sd" else (None, None)
@@ -428,6 +438,35 @@ def load_vae_params(args, task):
     return state_dict_to_pytree(sd)
 
 
+def cmd_fid(args):
+    """Score two sample sets (PNG dirs or bulk npz dumps) with the native
+    FID-Inception extractor (reference protocol: 50k samples,
+    torch-fidelity; README.md:103)."""
+    import json
+
+    from qdiffusion_tpu.metrics.fid import (
+        InceptionExtractor, fid_from_features)
+
+    extractor = InceptionExtractor(args.inception, batch_size=args.batch)
+
+    def load_set(path):
+        p = Path(path)
+        if p.suffix == ".npz":
+            data = np.load(p)
+            return data[data.files[0]]
+        from PIL import Image
+
+        files = sorted(p.glob("*.png"))
+        if not files:
+            raise SystemExit(f"no .png files in {p}")
+        return np.stack([np.asarray(Image.open(f)) for f in files])
+
+    f1 = extractor(load_set(args.set1))
+    f2 = extractor(load_set(args.set2))
+    fid = fid_from_features(f1, f2)
+    print(json.dumps({"fid": round(fid, 4), "n1": len(f1), "n2": len(f2)}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="qdiffusion_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -493,6 +532,14 @@ def main(argv=None):
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_convert)
 
+    sp = sub.add_parser("fid")
+    sp.add_argument("--set1", required=True, help="PNG dir or samples npz")
+    sp.add_argument("--set2", required=True, help="PNG dir or samples npz")
+    sp.add_argument("--inception", required=True,
+                    help="pt_inception checkpoint path (external artifact)")
+    sp.add_argument("--batch", type=int, default=64)
+    sp.set_defaults(fn=cmd_fid)
+
     sp = sub.add_parser("import-qstate")
     sp.add_argument("--task", required=True)
     sp.add_argument("--ckpt", required=True,
@@ -510,7 +557,7 @@ def main(argv=None):
     sp.add_argument("--qstate")
     add_quant_flags(sp)
     sp.add_argument("--engine", default="sim",
-                    choices=["sim", "fold", "int8"])
+                    choices=["sim", "fold", "int8", "stream"])
     sp.add_argument("--sampler")
     sp.add_argument("--n", type=int, default=64)
     sp.add_argument("--batch", type=int, default=64)

@@ -47,6 +47,48 @@ def pack_model(model, params: dict, qstate: dict) -> dict:
     return packed
 
 
+def stream_pack_model(model, params: dict, qstate: dict) -> dict:
+    """Weight-streaming pack: integer weights stay int8 in HBM and
+    dequantize on the fly inside the matmul/conv (XLA fuses the
+    convert+affine into the weight load — measured ~1.5x on weight-
+    bandwidth-bound shapes; docs/PERF_NOTES.md).
+
+    Per layer: {"segs": [{"w_c", "scale", "shift"}...], "bias"} where
+    dequantized weight = w_c * scale + shift (per-out-channel affine;
+    w_c recentred to signed int8, same math as ops/int8.py)."""
+    packed = {}
+    for name, cfg in model.layer_cfgs.items():
+        lstate = qstate.get(name)
+        if not lstate or "w" not in lstate:
+            continue
+        if cfg.split and "w0" not in lstate:
+            continue
+        if cfg.wq.n_bits > 8:
+            continue
+        p = _sub(params, name)
+        w = p["w"]
+        center = 0.0 if cfg.wq.symmetric else float(2 ** (cfg.wq.n_bits - 1))
+
+        def seg(ww, st):
+            wq = weight_int_values(ww, st, cfg.wq)
+            w_c = (wq - center).astype(jnp.int8)
+            delta = jnp.asarray(st["delta"], jnp.float32)
+            shift = (center - jnp.asarray(st["zero_point"],
+                                          jnp.float32)) * delta
+            return {"w_c": w_c,
+                    "scale": jnp.broadcast_to(delta, ()).astype(jnp.bfloat16)
+                    if delta.ndim == 0 else delta.astype(jnp.bfloat16),
+                    "shift": shift.astype(jnp.bfloat16)}
+
+        if cfg.split:
+            w_a, w_b = split_weight(w, cfg.split, cfg.in_axis)
+            segs = [seg(w_a, lstate["w"]), seg(w_b, lstate["w0"])]
+        else:
+            segs = [seg(w, lstate["w"])]
+        packed[name] = {"segs": segs, "bias": p.get("b")}
+    return packed
+
+
 def fold_weights(model, params: dict, qstate: dict, dtype=None) -> dict:
     """Bake dequantized (fake-quant) weights into a new param tree."""
 
@@ -245,6 +287,22 @@ def make_quantized_step(model, params: dict, qstate: dict,
             return model.apply(p, x, t, *ctx_args)
 
         return lambda x, t, *ctx_args: _fold_step(folded, x, t, *ctx_args)
+
+    if engine == "stream":
+        # weight-only like 'fold', but integer weights stay int8 in HBM
+        # (half the weight bandwidth; wins on weight-bound shapes)
+        spacked = stream_pack_model(model, params, qstate)
+        smode = QuantMode(w=False, a=False)
+
+        @jax.jit
+        def _stream_step(p, pk, x, t, *ctx_args):
+            ctx = QuantCtx(None, mode=smode, engine="stream", packed=pk)
+            if ctx_args:
+                return model.apply(p, x, t, ctx, context=ctx_args[0])
+            return model.apply(p, x, t, ctx)
+
+        return lambda x, t, *ctx_args: _stream_step(params, spacked, x, t,
+                                                    *ctx_args)
 
     packed = pack_model(model, params, qstate) if engine == "int8" else {}
     mode = QuantMode(w=True, a=True, soft=False)

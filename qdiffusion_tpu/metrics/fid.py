@@ -71,42 +71,32 @@ def inception_score_from_logits(logits: Array, splits: int = 10) -> Tuple[float,
 class InceptionExtractor:
     """pool3 (2048-d) feature extractor from a local Inception checkpoint.
 
-    Accepts a TorchScript file or a pytorch-fid FIDInceptionV3 state dict.
-    Images: (N, H, W, 3) float in [0, 1]; resized to 299x299 bilinear
-    (pytorch-fid convention) on the torch side.
+    Uses the native JAX FID-Inception port (metrics/inception.py, parity
+    tested vs the torch architecture) — features run jitted on the
+    accelerator. Accepts the pytorch-fid pt_inception state-dict/pickled
+    model or a TorchScript file (state dict extracted from its parameters).
+    Images: (N, H, W, 3) float in [0, 1] or uint8; resized to 299x299
+    bilinear (pytorch-fid convention).
     """
 
     def __init__(self, ckpt_path: str, batch_size: int = 64):
-        import torch
+        from qdiffusion_tpu.metrics.inception import load_inception_params
 
         path = Path(ckpt_path)
         if not path.exists():
             raise FileNotFoundError(
                 f"Inception checkpoint not found: {path}. Download the "
-                "pt_inception-2015-12-05 TorchScript model used by "
-                "torch-fidelity/pytorch-fid and pass its local path.")
-        self.torch = torch
-        try:
-            self.model = torch.jit.load(str(path), map_location="cpu").eval()
-            self.scripted = True
-        except Exception:
-            raise ValueError(f"unsupported inception checkpoint: {path}")
+                "pt_inception-2015-12-05 model used by torch-fidelity/"
+                "pytorch-fid (metrics/inception.py::INCEPTION_URL) and pass "
+                "its local path.")
+        self.params = load_inception_params(path)
         self.batch_size = batch_size
 
     def __call__(self, images: Array) -> Array:
-        torch = self.torch
-        feats = []
-        for i in range(0, len(images), self.batch_size):
-            batch = np.asarray(images[i : i + self.batch_size], np.float32)
-            x = torch.from_numpy(batch).permute(0, 3, 1, 2)
-            x = torch.nn.functional.interpolate(
-                x, size=(299, 299), mode="bilinear", align_corners=False)
-            x = (x * 255).to(torch.uint8).float()  # torch-fidelity pipeline
-            with torch.no_grad():
-                out = self.model(x)
-            f = out[0] if isinstance(out, (tuple, list)) else out
-            feats.append(f.reshape(f.shape[0], -1).numpy())
-        return np.concatenate(feats, axis=0)
+        from qdiffusion_tpu.metrics.inception import extract_features
+
+        return extract_features(self.params, np.asarray(images),
+                                batch_size=self.batch_size)
 
 
 def fid_between_dirs(dir1: str, dir2: str, extractor: Callable) -> float:

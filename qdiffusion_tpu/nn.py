@@ -67,6 +67,12 @@ def dense(x: Array, w: Array, b: Optional[Array] = None) -> Array:
     return y
 
 
+# Deployed engines flip this on (deploy.py / bench) to route group_norm
+# through the single-pass Pallas kernel; default off so parity tests and
+# CPU runs take the reference-faithful XLA path.
+FUSED_GROUPNORM = False
+
+
 def group_norm(x: Array, scale: Array, bias: Array, *, num_groups: int = 32,
                eps: float = 1e-6) -> Array:
     """GroupNorm over NHWC (or N...C) in fp32.
@@ -75,6 +81,13 @@ def group_norm(x: Array, scale: Array, bias: Array, *, num_groups: int = 32,
     (GroupNorm32, ldm util.py:214-216); we do the same to avoid FID drift
     under bf16.
     """
+    if FUSED_GROUPNORM:
+        from qdiffusion_tpu.ops.pallas.groupnorm import (
+            fused_group_norm, group_norm_supported)
+
+        if group_norm_supported(x.shape, num_groups):
+            return fused_group_norm(x, scale, bias, num_groups=num_groups,
+                                    eps=eps)
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     c = x.shape[-1]

@@ -67,12 +67,26 @@ def _quant_weight(ctx: QuantCtx, name: str, w: Array, cfg: LayerQuantConfig,
     return ctx.weight_quant(name, "w", w, cfg.wq)
 
 
+def _stream_dequant(packed: dict, in_axis: int, dtype=jnp.bfloat16) -> Array:
+    """int8-in-HBM weight -> carrier dtype, dequant fused into the consumer
+    matmul/conv by XLA (deploy.stream_pack_model)."""
+    parts = [seg["w_c"].astype(dtype) * seg["scale"].astype(dtype)
+             + seg["shift"].astype(dtype) for seg in packed["segs"]]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                            axis=in_axis)
+
+
 def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
             *, stride=1, padding="SAME", feature_group_count: int = 1) -> Array:
     if ctx.engine == "int8" and name in ctx.packed:
         from qdiffusion_tpu.ops.int8 import int8_conv2d
 
         return int8_conv2d(x, ctx.packed[name], stride=stride, padding=padding)
+    if ctx.engine == "stream" and name in ctx.packed:
+        pk = ctx.packed[name]
+        return nn.conv2d(x, _stream_dequant(pk, 2, x.dtype), pk.get("bias"),
+                         stride=stride, padding=padding,
+                         feature_group_count=feature_group_count)
     x = _quant_input(ctx, name, x, cfg)
     w = _quant_weight(ctx, name, p["w"], cfg, in_axis=2)
     return nn.conv2d(x, w, p.get("b"), stride=stride, padding=padding,
@@ -81,6 +95,10 @@ def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
 
 def qconv1d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
             *, stride=1, padding="SAME") -> Array:
+    if ctx.engine == "stream" and name in ctx.packed:
+        pk = ctx.packed[name]
+        return nn.conv1d(x, _stream_dequant(pk, 1, x.dtype), pk.get("bias"),
+                         stride=stride, padding=padding)
     x = _quant_input(ctx, name, x, cfg)
     w = _quant_weight(ctx, name, p["w"], cfg, in_axis=1)
     return nn.conv1d(x, w, p.get("b"), stride=stride, padding=padding)
@@ -92,6 +110,9 @@ def qdense(ctx: QuantCtx, name: str, p: dict, x: Array,
         from qdiffusion_tpu.ops.int8 import int8_dense
 
         return int8_dense(x, ctx.packed[name])
+    if ctx.engine == "stream" and name in ctx.packed:
+        pk = ctx.packed[name]
+        return nn.dense(x, _stream_dequant(pk, 0, x.dtype), pk.get("bias"))
     x = _quant_input(ctx, name, x, cfg)
     w = _quant_weight(ctx, name, p["w"], cfg, in_axis=0)
     return nn.dense(x, w, p.get("b"))

@@ -1,0 +1,145 @@
+"""Weight-streaming engine benchmark across batch regimes, real TPU.
+
+Measures the bf16 baseline vs the 'stream' deployment (int8 weights in
+HBM, dequant fused into the weight load) at:
+  * CIFAR UNet batch 64 (compute-bound: expect ~1.0x)
+  * CIFAR UNet batch 1  (weight-bound: streaming should win)
+  * SD UNet (860M) batch 1/4 CFG-less (serving latency)
+
+Feeds docs/PERF_NOTES.md and bench.py's stream section.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+T0 = time.perf_counter()
+
+
+def log(msg):
+    print(f"[stream +{time.perf_counter() - T0:.0f}s] {msg}", flush=True)
+
+
+def time_steps(step_fn, x, *args, tag="", loop=20):
+    @jax.jit
+    def run(x, *args):
+        out = jax.lax.fori_loop(
+            0, loop, lambda i, x: step_fn(x, *args).astype(x.dtype), x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    def sync(xi):
+        return float(run(xi, *args))
+
+    sync(x)
+    sync(x + 0.002)
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        sync(x + 0.001 * (i + 3))
+        best = min(best, (time.perf_counter() - t0) / loop)
+    log(f"{tag}: {best * 1e3:.4f} ms/step")
+    return best
+
+
+def to_bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        tree)
+
+
+def bench_cifar():
+    from qdiffusion_tpu.calib.engine import init_weight_qstate
+    from qdiffusion_tpu.deploy import stream_pack_model
+    from qdiffusion_tpu.models.unet_ddim import DDIMUNet, DDIMUNetConfig
+    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+
+    model = DDIMUNet(DDIMUNetConfig())
+    params = jax.jit(model.init_params)(jax.random.PRNGKey(0))
+    qstate = jax.jit(lambda p: init_weight_qstate(model, p))(params)
+    packed = jax.jit(lambda p, q: stream_pack_model(model, p, q))(params,
+                                                                  qstate)
+    params16 = to_bf16(params)
+    jax.block_until_ready(packed)
+    log("cifar params/pack ready")
+    t64 = jnp.full((64,), 500.0)
+    t1 = jnp.full((1,), 500.0)
+    smode = QuantMode(w=False, a=False)
+
+    def base_step(x, p, t):
+        return model.apply(p, x.astype(jnp.bfloat16), t).astype(jnp.float32)
+
+    def stream_step(x, p, pk, t):
+        ctx = QuantCtx(None, mode=smode, engine="stream", packed=pk)
+        return model.apply(p, x.astype(jnp.bfloat16), t, ctx).astype(
+            jnp.float32)
+
+    out = {}
+    for b, tt, loop in ((64, t64, 20), (1, t1, 200)):
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, 32, 32, 3))
+        bb = time_steps(base_step, x, params16, tt,
+                        tag=f"cifar b{b} bf16", loop=loop)
+        ss = time_steps(stream_step, x, params16, packed, tt,
+                        tag=f"cifar b{b} stream", loop=loop)
+        out[f"cifar_b{b}"] = (bb, ss)
+        log(f"cifar b{b}: stream_vs_bf16 = {bb / ss:.3f}x")
+    return out
+
+
+def bench_sd():
+    from qdiffusion_tpu.calib.engine import init_weight_qstate
+    from qdiffusion_tpu.deploy import stream_pack_model
+    from qdiffusion_tpu.models.unet_ldm import LDMUNet
+    from qdiffusion_tpu.config import SD_V1
+    from qdiffusion_tpu.models.unet_ddim import QuantPolicy
+    from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
+    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+
+    policy = QuantPolicy(wq=AffineQuantizerSpec(
+        n_bits=8, channel_wise=True, channel_axis=-1, scale_method="max"))
+    model = LDMUNet(SD_V1.unet_ldm, policy)
+    params = jax.jit(lambda k: to_bf16(model.init_params(k)))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log("sd params ready")
+    qstate = jax.jit(lambda p: init_weight_qstate(model, p))(params)
+    packed = jax.jit(lambda p, q: stream_pack_model(model, p, q))(params,
+                                                                  qstate)
+    jax.block_until_ready(packed)
+    log("sd pack ready")
+    smode = QuantMode(w=False, a=False)
+
+    def base_step(x, p, t, c):
+        return model.apply(p, x.astype(jnp.bfloat16), t,
+                           context=c).astype(jnp.float32)
+
+    def stream_step(x, p, pk, t, c):
+        ctx = QuantCtx(None, mode=smode, engine="stream", packed=pk)
+        return model.apply(p, x.astype(jnp.bfloat16), t, ctx,
+                           context=c).astype(jnp.float32)
+
+    out = {}
+    for b, loop in ((1, 40), (4, 20)):
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, 64, 64, 4))
+        t = jnp.full((b,), 500.0)
+        c = jax.random.normal(jax.random.PRNGKey(2), (b, 77, 768),
+                              jnp.bfloat16)
+        bb = time_steps(base_step, x, params, t, c,
+                        tag=f"sd b{b} bf16", loop=loop)
+        ss = time_steps(stream_step, x, params, packed, t, c,
+                        tag=f"sd b{b} stream", loop=loop)
+        out[f"sd_b{b}"] = (bb, ss)
+        log(f"sd b{b}: stream_vs_bf16 = {bb / ss:.3f}x")
+    return out
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "cifar"):
+        bench_cifar()
+    if which in ("all", "sd"):
+        bench_sd()
