@@ -121,6 +121,18 @@ def main():
     int8_dt = time_steps(int8_step, x, params, qstate, packed,
                          tag="int8 W8A8")
 
+    # the reference's actual deployed recipe: fp32 fake-quant simulation
+    # (qdiff/quant_layer.py:66-89 runs every weight and activation through
+    # the fp32 quantize-dequantize path at inference). This is what a user
+    # of the reference runs; our fold engine computes the same quantized
+    # network at full bf16 speed.
+    def ref_sim_step(x, p, q):
+        ctx = QuantCtx(q, mode=QuantMode(w=True, a=True, soft=False))
+        return model.apply(p, x, t, ctx)
+
+    ref_sim_dt = time_steps(ref_sim_step, x, params, qstate,
+                            tag="reference-style fp32 fake-quant")
+
     best_name, best_dt = min((("fold_w_only", fold_dt), ("int8_w8a8", int8_dt)),
                              key=lambda kv: kv[1])
     print(json.dumps({
@@ -132,6 +144,14 @@ def main():
         "fold_ms": round(fold_dt * 1e3, 3),
         "int8_ms": round(int8_dt * 1e3, 3),
         "int8_vs_baseline": round(fp_dt / int8_dt, 4),
+        "ref_sim_ms": round(ref_sim_dt * 1e3, 3),
+        "vs_reference_deployment": round(ref_sim_dt / best_dt, 4),
+        "roofline_note": "docs/PERF_NOTES.md: v5e runs int8 MXU at 0.78x "
+                         "bf16 rate and the step is conv-bound at ~93 "
+                         "TFLOPs, so quantized-vs-bf16 is capped near 1.0; "
+                         "the quantization win on TPU is exact integer "
+                         "deployment at full speed vs the reference's fp32 "
+                         "simulation",
     }))
 
 

@@ -361,16 +361,18 @@ def cmd_sample(args):
     rng = jax.random.PRNGKey(args.seed)
     batch = args.batch
     n_dev = len(jax.devices())
-    if args.dp and n_dev > 1:
+    if (args.dp or args.mesh) and n_dev > 1:
         # data-parallel FID sampling: replicate params, shard the batch
-        # over the mesh; the scan-sampler runs SPMD with zero collectives
-        from qdiffusion_tpu.parallel.mesh import make_mesh, replicate
+        # over the mesh; the scan-sampler runs SPMD with zero collectives.
+        # --mesh 'dcn:H,data:N' builds the hybrid multi-host layout.
+        from qdiffusion_tpu.parallel.mesh import (
+            make_mesh, parse_mesh_spec, replicate)
 
-        mesh = make_mesh()
+        mesh = parse_mesh_spec(args.mesh) if args.mesh else make_mesh()
         params = replicate(params, mesh)
         batch = (batch // n_dev) * n_dev or n_dev
-        logger.info("data-parallel sampling over %d devices, batch %d",
-                    n_dev, batch)
+        logger.info("data-parallel sampling over %s mesh, batch %d",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)), batch)
     idx = 0
     tput = Throughput()
     all_images = [] if args.npz_out else None
@@ -569,6 +571,10 @@ def main(argv=None):
                          "NxHxWxC-samples.npz, or an explicit .npz path)")
     sp.add_argument("--dp", action="store_true",
                     help="shard the sampling batch over all devices")
+    sp.add_argument("--mesh",
+                    help="mesh spec: 'data:N' or 'dcn:H,data:N' (multi-host "
+                         "hybrid; call parallel.mesh.distributed_init first "
+                         "on each process)")
     add_prompt_flags(sp)
     sp.set_defaults(fn=cmd_sample)
 

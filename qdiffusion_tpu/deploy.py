@@ -47,11 +47,17 @@ def pack_model(model, params: dict, qstate: dict) -> dict:
     return packed
 
 
-def stream_pack_model(model, params: dict, qstate: dict) -> dict:
+def stream_pack_model(model, params: dict, qstate: dict,
+                      dense_only: bool = True) -> dict:
     """Weight-streaming pack: integer weights stay int8 in HBM and
-    dequantize on the fly inside the matmul/conv (XLA fuses the
-    convert+affine into the weight load — measured ~1.5x on weight-
-    bandwidth-bound shapes; docs/PERF_NOTES.md).
+    dequantize on the fly inside the matmul weight load (XLA fuses the
+    convert+affine — measured ~1.5x on weight-bandwidth-bound dense
+    chains; docs/PERF_NOTES.md).
+
+    dense_only (default): only 2-D (dense) weights stream — measured on
+    this stack, XLA does NOT fuse the dequant into convolutions (it
+    materializes the bf16 weight each step, a net loss), so convs should
+    be served folded (the stream engine folds them).
 
     Per layer: {"segs": [{"w_c", "scale", "shift"}...], "bias"} where
     dequantized weight = w_c * scale + shift (per-out-channel affine;
@@ -64,6 +70,8 @@ def stream_pack_model(model, params: dict, qstate: dict) -> dict:
         if cfg.split and "w0" not in lstate:
             continue
         if cfg.wq.n_bits > 8:
+            continue
+        if dense_only and _sub(params, name)["w"].ndim != 2:
             continue
         p = _sub(params, name)
         w = p["w"]
@@ -289,9 +297,12 @@ def make_quantized_step(model, params: dict, qstate: dict,
         return lambda x, t, *ctx_args: _fold_step(folded, x, t, *ctx_args)
 
     if engine == "stream":
-        # weight-only like 'fold', but integer weights stay int8 in HBM
-        # (half the weight bandwidth; wins on weight-bound shapes)
-        spacked = stream_pack_model(model, params, qstate)
+        # weight-only like 'fold', but dense weights stay int8 in HBM
+        # (half the weight bandwidth; wins on weight-bound small-batch
+        # shapes). Convs are folded: XLA materializes conv-weight dequant
+        # (measured net loss), so only matmul weights stream.
+        spacked = stream_pack_model(model, params, qstate, dense_only=True)
+        sfolded = fold_weights(model, params, qstate)
         smode = QuantMode(w=False, a=False)
 
         @jax.jit
@@ -301,7 +312,7 @@ def make_quantized_step(model, params: dict, qstate: dict,
                 return model.apply(p, x, t, ctx, context=ctx_args[0])
             return model.apply(p, x, t, ctx)
 
-        return lambda x, t, *ctx_args: _stream_step(params, spacked, x, t,
+        return lambda x, t, *ctx_args: _stream_step(sfolded, spacked, x, t,
                                                     *ctx_args)
 
     packed = pack_model(model, params, qstate) if engine == "int8" else {}

@@ -54,7 +54,7 @@ def to_bf16(tree):
 
 def bench_cifar():
     from qdiffusion_tpu.calib.engine import init_weight_qstate
-    from qdiffusion_tpu.deploy import stream_pack_model
+    from qdiffusion_tpu.deploy import fold_weights, stream_pack_model
     from qdiffusion_tpu.models.unet_ddim import DDIMUNet, DDIMUNetConfig
     from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
 
@@ -63,7 +63,8 @@ def bench_cifar():
     qstate = jax.jit(lambda p: init_weight_qstate(model, p))(params)
     packed = jax.jit(lambda p, q: stream_pack_model(model, p, q))(params,
                                                                   qstate)
-    params16 = to_bf16(params)
+    params16 = jax.jit(
+        lambda p, q: to_bf16(fold_weights(model, p, q)))(params, qstate)
     jax.block_until_ready(packed)
     log("cifar params/pack ready")
     t64 = jnp.full((64,), 500.0)
@@ -92,14 +93,16 @@ def bench_cifar():
 
 def bench_sd():
     from qdiffusion_tpu.calib.engine import init_weight_qstate
-    from qdiffusion_tpu.deploy import stream_pack_model
+    from qdiffusion_tpu.deploy import fold_weights, stream_pack_model
     from qdiffusion_tpu.models.unet_ldm import LDMUNet
     from qdiffusion_tpu.config import SD_V1
     from qdiffusion_tpu.models.unet_ddim import QuantPolicy
     from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
     from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
 
-    policy = QuantPolicy(wq=AffineQuantizerSpec(
+    from qdiffusion_tpu.models.unet_ldm import LDMQuantPolicy
+
+    policy = LDMQuantPolicy(wq=AffineQuantizerSpec(
         n_bits=8, channel_wise=True, channel_axis=-1, scale_method="max"))
     model = LDMUNet(SD_V1.unet_ldm, policy)
     params = jax.jit(lambda k: to_bf16(model.init_params(k)))(
@@ -109,6 +112,8 @@ def bench_sd():
     qstate = jax.jit(lambda p: init_weight_qstate(model, p))(params)
     packed = jax.jit(lambda p, q: stream_pack_model(model, p, q))(params,
                                                                   qstate)
+    params = jax.jit(
+        lambda p, q: to_bf16(fold_weights(model, p, q)))(params, qstate)
     jax.block_until_ready(packed)
     log("sd pack ready")
     smode = QuantMode(w=False, a=False)

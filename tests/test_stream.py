@@ -49,7 +49,7 @@ def test_stream_pack_contents():
         n_bits=4, channel_wise=True, channel_axis=-1, scale_method="max")))
     params = model.init_params(jax.random.PRNGKey(0))
     qstate = init_weight_qstate(model, params)
-    packed = stream_pack_model(model, params, qstate)
+    packed = stream_pack_model(model, params, qstate, dense_only=False)
     assert set(packed) == set(qstate)
     split_sites = [n for n, c in model.layer_cfgs.items() if c.split]
     assert split_sites
@@ -61,6 +61,13 @@ def test_stream_pack_contents():
             # 4-bit grid recentred by 8: values in [-8, 7]
             vals = np.asarray(seg["w_c"])
             assert vals.min() >= -8 and vals.max() <= 7
+
+    # default (deployed) pack streams only dense weights — convs fold
+    dense = stream_pack_model(model, params, qstate)
+    from qdiffusion_tpu.models.unet_ddim import _sub
+
+    assert dense and all(
+        _sub(params, n)["w"].ndim == 2 for n in dense)
 
 
 def test_stream_cli(tmp_path, monkeypatch):
