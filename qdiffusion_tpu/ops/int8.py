@@ -285,21 +285,48 @@ def int8_einsum(eq: str, a: Array, b: Array, a_st: dict, b_st: dict,
     return (y * scale).astype(out_dtype)
 
 
+# int8_dense backend: True routes through the Pallas fused-epilogue kernel
+# (ops/pallas/int8_matmul.py), None auto-selects it on TPU, False forces
+# the XLA path (CPU tests; interpret-mode parity is tested separately).
+PALLAS_DENSE: Optional[bool] = None
+
+
+def _use_pallas_dense() -> bool:
+    if PALLAS_DENSE is not None:
+        return PALLAS_DENSE
+    return jax.default_backend() == "tpu"
+
+
 def int8_dense(x: Array, packed: PackedWeight, out_dtype=None) -> Array:
-    """Integer dense matching qdense's fake-quant semantics."""
+    """Integer dense matching qdense's fake-quant semantics.
+
+    On TPU the matmul + row-sum correction + dequant epilogue run as ONE
+    Pallas kernel (single HBM write); elsewhere the same math goes through
+    XLA's int8 dot plus elementwise passes."""
     out_dtype = out_dtype or x.dtype
     split_points = np.cumsum([s.w_c.shape[0] for s in packed.segments])[:-1]
     xs = jnp.split(x, split_points, axis=-1) if len(packed.segments) > 1 else [x]
+    use_pallas = _use_pallas_dense()
     acc = None
     for seg, xseg in zip(packed.segments, xs):
         x_c = quantize_act(xseg, seg)
-        mm = jax.lax.dot_general(
-            x_c, seg.w_c, (((x_c.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        s_sum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
-        y = (mm.astype(jnp.float32) * seg.scale_a
-             + s_sum * seg.scale_s
-             + seg.const)
+        if use_pallas:
+            from qdiffusion_tpu.ops.pallas.int8_matmul import int8_dense_pallas
+
+            lead = x_c.shape[:-1]
+            y = int8_dense_pallas(
+                x_c.reshape(-1, x_c.shape[-1]), seg.w_c,
+                seg.scale_a, seg.scale_s, seg.const,
+                out_dtype=jnp.float32)
+            y = y.reshape(*lead, -1)
+        else:
+            mm = jax.lax.dot_general(
+                x_c, seg.w_c, (((x_c.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            s_sum = jnp.sum(x_c.astype(jnp.float32), axis=-1, keepdims=True)
+            y = (mm.astype(jnp.float32) * seg.scale_a
+                 + s_sum * seg.scale_s
+                 + seg.const)
         acc = y if acc is None else acc + y
     if packed.bias is not None:
         acc = acc + packed.bias

@@ -1,17 +1,25 @@
-"""Pallas TPU kernel: tiled int8 x int8 -> int32 matmul with fused
-dequantizing epilogue.
+"""Pallas TPU kernel: tiled int8 x int8 -> int32 matmul with the FULL
+fused dequantizing epilogue of the integer engine.
 
-The deployed integer path (ops/int8.py) routes matmuls through XLA's int8
-dot. This kernel is the hand-scheduled alternative: MXU-aligned tiles
-(multiples of 32x128 for int8 operands), K-loop accumulation in an int32
-VMEM scratch, and the dequant scale + per-channel corrections applied in
-the epilogue while the tile is still in VMEM — one HBM write of the final
-bf16/f32 result instead of int32 + a second elementwise pass.
+The deployed integer path (ops/int8.py) computes, per output channel o:
+
+    y = A[o] * (x_c . w_c) + Bc[o] * S(x_c) + C[o]
+
+where S(x_c) is the per-row sum of the recentred activations (the
+asymmetric-zero-point correction). XLA runs that as a matmul plus TWO
+extra elementwise/reduce passes over HBM. This kernel fuses everything:
+MXU-aligned tiles (multiples of 32x128 for int8 operands), K-loop
+accumulation of both the int32 dot AND the f32 row-sum in VMEM scratch,
+and the dequant epilogue applied while the tile is still in VMEM — one
+HBM write of the final bf16/f32 result.
 
 Measured on v5e (4096^3): ~101 TOPs vs ~96 TOPs for XLA's int8 dot and
-~80-104 TFLOPs bf16 — i.e. the MXU int8 path on this stack runs at bf16
-rate for both, so the kernel's value is the fused epilogue and layout
-control, not raw matmul throughput (see docs/ROADMAP.md).
+~80-104 TFLOPs bf16 — the MXU int8 path on this stack runs at bf16 rate
+for both, so the kernel's value is the fused epilogue and layout control,
+not raw matmul throughput (docs/PERF_NOTES.md). It serves int8_dense and
+the attention matmuls; convolutions stay on XLA's conv-native int8 path
+(an HBM im2col would read 3x3 patches at 9x amplification — measured
+loser).
 """
 
 from __future__ import annotations
@@ -25,48 +33,56 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
-def _kernel(x_ref, w_ref, scale_a_ref, const_ref, o_ref, acc_ref,
-            *, out_dtype):
-    """Grid (i, j, k): M/N parallel, K arbitrary (sequential accumulate)."""
+def _kernel(x_ref, w_ref, scale_a_ref, scale_s_ref, const_ref, o_ref,
+            acc_ref, s_ref, *, out_dtype):
+    """Grid (i, j, k): M/N parallel, K sequential (accumulates dot + S)."""
     @pl.when(pl.program_id(2) == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        s_ref[:] = jnp.zeros_like(s_ref)
 
-    acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
-                          preferred_element_type=jnp.int32)
+    x = x_ref[:]
+    acc_ref[:] += jnp.dot(x, w_ref[:], preferred_element_type=jnp.int32)
+    s_ref[:] += jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
 
     @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
     def _():
-        # fused dequant epilogue: y = A[o] * acc + C[o]
+        # fused dequant epilogue: y = A[o]*acc + Bc[o]*S(x) + C[o]
         y = (acc_ref[:].astype(jnp.float32) * scale_a_ref[:]
+             + s_ref[:] * scale_s_ref[:]
              + const_ref[:])
         o_ref[:] = y.astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "tile_k",
-                                             "out_dtype"))
+                                             "out_dtype", "interpret"))
 def int8_matmul_dequant(
     x_c: Array,
     w_c: Array,
     scale_a: Array,
     const: Array,
+    scale_s: Array | None = None,
     *,
     tile_m: int = 256,
     tile_n: int = 256,
     tile_k: int = 512,
     out_dtype=jnp.float32,
+    interpret: bool = False,
 ) -> Array:
-    """(M,K) int8 . (K,N) int8 -> (M,N) out_dtype, epilogue fused.
+    """(M,K) int8 . (K,N) int8 -> (M,N) out_dtype, full epilogue fused.
 
-    scale_a, const: (N,) f32 per-out-channel dequant scale and additive
-    constant (see ops/int8.py epilogue folding). Shapes must be multiples
-    of the tile sizes (pad at the caller; int8 tiles are (32,128)-aligned).
-    """
+    scale_a, scale_s, const: (N,) f32 per-out-channel dequant scale, the
+    Bc row-sum correction scale, and the additive constant (ops/int8.py
+    epilogue folding; pass scale_s=None/zeros for symmetric weights).
+    Shapes must be multiples of the tile sizes (pad at the caller —
+    zero-padding K is exact: it adds nothing to the dot or to S)."""
     M, K = x_c.shape
     K2, N = w_c.shape
     assert K == K2
     assert M % tile_m == 0 and N % tile_n == 0 and K % tile_k == 0, (
         f"{(M, K, N)} not aligned to tiles {(tile_m, tile_k, tile_n)}")
+    if scale_s is None:
+        scale_s = jnp.zeros_like(scale_a)
 
     grid = (M // tile_m, N // tile_n, K // tile_k)
     return pl.pallas_call(
@@ -81,16 +97,53 @@ def int8_matmul_dequant(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i, j, k: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.int32),
+                        pltpu.VMEM((tile_m, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=M * K + K * N + M * N * 4,
             transcendentals=0),
+        interpret=interpret,
     )(x_c, w_c, scale_a.reshape(1, -1).astype(jnp.float32),
+      scale_s.reshape(1, -1).astype(jnp.float32),
       const.reshape(1, -1).astype(jnp.float32))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def int8_dense_pallas(x_c: Array, w_c: Array, scale_a: Array,
+                      scale_s: Array, const: Array, *,
+                      out_dtype=jnp.float32,
+                      interpret: bool = False) -> Array:
+    """Shape-flexible wrapper: pads (M, K, N) to tile multiples, runs the
+    fused kernel, slices back. Zero padding is exact for dot and S."""
+    M, K = x_c.shape
+    N = w_c.shape[1]
+    tile_m = 256 if M >= 256 else _round_up(max(M, 1), 32)
+    tile_n = 256 if N % 256 == 0 else 128
+    tile_k = 512 if K % 512 == 0 else 256 if K % 256 == 0 else 128
+    Mp, Kp, Np = (_round_up(M, tile_m), _round_up(K, tile_k),
+                  _round_up(N, tile_n))
+    if (Mp, Kp) != (M, K):
+        x_c = jnp.pad(x_c, ((0, Mp - M), (0, Kp - K)))
+    if (Kp, Np) != (K, N):
+        w_c = jnp.pad(w_c, ((0, Kp - K), (0, Np - N)))
+    if Np != N:
+        pad = ((0, Np - N),)
+        scale_a = jnp.pad(scale_a.reshape(-1), pad)
+        scale_s = jnp.pad(scale_s.reshape(-1), pad)
+        const = jnp.pad(const.reshape(-1), pad)
+    y = int8_matmul_dequant(x_c, w_c, scale_a, const, scale_s,
+                            tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
+                            out_dtype=out_dtype, interpret=interpret)
+    return y[:M, :N]
