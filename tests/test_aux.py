@@ -132,3 +132,45 @@ def test_ckpt_registry_offline_behaviour(tmp_path):
     assert get_ckpt_path("cifar10", root=str(tmp_path)) == p
     with pytest.raises(KeyError):
         get_ckpt_path("nonexistent_model", root=str(tmp_path))
+
+
+def test_lr_schedules_match_reference():
+    """warmup-cosine(-cycles)/linear-cycles match the reference classes
+    value-for-value (ldm/lr_scheduler.py)."""
+    import sys
+    from pathlib import Path
+
+    ref = Path("/root/reference")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference repo not mounted")
+    if str(ref) not in sys.path:
+        sys.path.insert(0, str(ref))
+    import numpy as np
+    from ldm.lr_scheduler import (
+        LambdaLinearScheduler,
+        LambdaWarmUpCosineScheduler,
+        LambdaWarmUpCosineScheduler2,
+    )
+
+    from qdiffusion_tpu.utils.lr_scheduler import (
+        warmup_cosine,
+        warmup_cosine_cycles,
+        warmup_linear_cycles,
+    )
+
+    r1 = LambdaWarmUpCosineScheduler(100, 0.01, 1.0, 0.1, 1000)
+    s1 = warmup_cosine(100, 0.01, 1.0, 0.1, 1000)
+    for n in [0, 1, 50, 99, 100, 101, 500, 999, 1000, 5000]:
+        np.testing.assert_allclose(float(s1(n)), r1(n), rtol=1e-12)
+
+    args = dict(warm_up_steps=[10, 5], f_min=[0.1, 0.01], f_max=[1.0, 0.5],
+                f_start=[0.0, 0.05])
+    r2 = LambdaWarmUpCosineScheduler2(cycle_lengths=[100, 200], **args)
+    s2 = warmup_cosine_cycles(cycle_lengths=[100, 200], **args)
+    r3 = LambdaLinearScheduler(cycle_lengths=[100, 200], **args)
+    s3 = warmup_linear_cycles(cycle_lengths=[100, 200], **args)
+    for n in range(0, 300, 7):
+        np.testing.assert_allclose(float(s2(n)), r2(n), rtol=1e-12), n
+        np.testing.assert_allclose(float(s3(n)), r3(n), rtol=1e-12), n
