@@ -45,11 +45,22 @@ def materializing_attention(q: Array, k: Array, v: Array, *, scale: float,
 
 
 def blockwise_attention(q: Array, k: Array, v: Array, *, scale: float,
-                        sm_q=None, v_q=None, block_size: int = 512) -> Array:
+                        sm_q=None, v_q=None, block_size: int = 512,
+                        allow_pallas: bool = True) -> Array:
     """Flash-style two-pass attention with exact static-delta quantization.
 
     q: (B, T, H, D); k, v: (B, S, H, D). Never materializes (T, S).
+
+    On TPU, when the score tile fits VMEM, dispatches to the single-pass
+    Pallas kernel (ops/pallas/flash_attention.py) — same math, one QK^T
+    instead of two and zero HBM score traffic.
     """
+    if allow_pallas:
+        from qdiffusion_tpu.ops.pallas.flash_attention import (
+            flash_attention, flash_supported)
+
+        if flash_supported(q.shape, k.shape):
+            return flash_attention(q, k, v, scale=scale, sm_q=sm_q, v_q=v_q)
     B, T, H, D = q.shape
     S = k.shape[1]
     bs = min(block_size, S)

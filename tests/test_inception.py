@@ -205,7 +205,9 @@ def test_pool3_parity(models):
         ref = m(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
     ours = np.asarray(inception_pool3(params, jnp.asarray(x)))
     assert ours.shape == (2, 2048)
-    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+    # features are O(1000) with the amplified fixture; atol covers relu
+    # boundary flips from 1e-7-level conv noise
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-2)
 
 
 def test_preprocess_matches_torch_interpolate(models):

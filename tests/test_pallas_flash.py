@@ -1,0 +1,93 @@
+"""Pallas flash attention: parity vs the materializing and blockwise
+XLA paths (interpret mode on CPU; the compiled path is exercised on the
+real chip by scripts/bench_attention.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qdiffusion_tpu.ops.attention import (
+    blockwise_attention,
+    materializing_attention,
+)
+from qdiffusion_tpu.ops.pallas.flash_attention import (
+    flash_attention,
+    flash_supported,
+)
+from qdiffusion_tpu.quant.affine import AffineQuantizerSpec, init_state
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def _qkv(B=2, T=24, S=40, H=2, D=16, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)).astype(np.float32), dtype)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32), dtype)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32), dtype)
+    return q, k, v
+
+
+def test_fp_parity():
+    q, k, v = _qkv()
+    ref = materializing_attention(q, k, v, scale=0.25)
+    got = flash_attention(q, k, v, scale=0.25, interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantized_parity_vs_blockwise():
+    """Quantized sm/v: identical static-delta semantics as the blockwise
+    and materializing paths."""
+    q, k, v = _qkv(seed=1)
+    sm_spec = AffineQuantizerSpec(n_bits=8, scale_method="max",
+                                  leaf_param=True, always_zero=True)
+    v_spec = AffineQuantizerSpec(n_bits=8, scale_method="max",
+                                 leaf_param=True)
+    w = jax.nn.softmax(
+        jnp.einsum("bihd,bjhd->bhij", q, k) * 0.25, axis=-1)
+    sm_st = init_state(w, sm_spec)
+    v_st = init_state(v, v_spec)
+
+    ref = materializing_attention(q, k, v, scale=0.25,
+                                  sm_q=(sm_st, sm_spec), v_q=(v_st, v_spec))
+    blk = blockwise_attention(q, k, v, scale=0.25,
+                              sm_q=(sm_st, sm_spec), v_q=(v_st, v_spec),
+                              block_size=16)
+    got = flash_attention(q, k, v, scale=0.25,
+                          sm_q=(sm_st, sm_spec), v_q=(v_st, v_spec),
+                          interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(blk),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_carrier_parity():
+    q, k, v = _qkv(seed=2, dtype=jnp.bfloat16)
+    sm_spec = AffineQuantizerSpec(n_bits=8, scale_method="max",
+                                  leaf_param=True, always_zero=True)
+    sm_st = {"delta": jnp.float32(1 / 255.0), "zero_point": jnp.float32(0.0)}
+    ref = materializing_attention(q, k, v, scale=0.25, sm_q=(sm_st, sm_spec))
+    got = flash_attention(q, k, v, scale=0.25, sm_q=(sm_st, sm_spec),
+                          interpret=INTERP)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_padding_unaligned_shapes():
+    """T/S/D none 128-aligned: padding + masking must be exact."""
+    q, k, v = _qkv(B=1, T=10, S=23, H=1, D=12, seed=3)
+    ref = materializing_attention(q, k, v, scale=0.3)
+    got = flash_attention(q, k, v, scale=0.3, tile_q=8, interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_supported_gate():
+    assert flash_supported((2, 4096, 8, 40), (2, 4096, 8, 40)) == (
+        jax.default_backend() == "tpu")
+    # 64k keys would need a 32MB score tile: always refused
+    assert not flash_supported((1, 128, 1, 64), (1, 65536, 1, 64))
