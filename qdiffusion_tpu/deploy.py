@@ -52,16 +52,22 @@ def stream_pack_model(model, params: dict, qstate: dict,
     """Weight-streaming pack: integer weights stay int8 in HBM and
     dequantize on the fly inside the matmul weight load (XLA fuses the
     convert+affine — measured ~1.5x on weight-bandwidth-bound dense
-    chains; docs/PERF_NOTES.md).
+    chains; docs/PERF_NOTES.md). Weights quantized to <=4 bits are
+    nibble-packed (two values per HBM byte) and served by the Pallas
+    int4 streaming kernel (ops/pallas/int4_matmul.py) — half the weight
+    bandwidth again; XLA has no fusible sub-byte representation.
 
     dense_only (default): only 2-D (dense) weights stream — measured on
     this stack, XLA does NOT fuse the dequant into convolutions (it
     materializes the bf16 weight each step, a net loss), so convs should
     be served folded (the stream engine folds them).
 
-    Per layer: {"segs": [{"w_c", "scale", "shift"}...], "bias"} where
-    dequantized weight = w_c * scale + shift (per-out-channel affine;
-    w_c recentred to signed int8, same math as ops/int8.py)."""
+    Per layer: {"segs": [...], "bias"}. int8 seg: {"w_c", "scale",
+    "shift"} with dequantized weight = w_c * scale + shift (per-out-
+    channel affine; w_c recentred to signed int8, same math as
+    ops/int8.py). int4 seg: {"wp", "scale4", "off4"} with weight =
+    nib * scale4 + off4 and wp the K-halved nibble pack
+    (ops/pallas/int4_matmul.py docstring)."""
     packed = {}
     for name, cfg in model.layer_cfgs.items():
         lstate = qstate.get(name)
@@ -75,12 +81,35 @@ def stream_pack_model(model, params: dict, qstate: dict,
             continue
         p = _sub(params, name)
         w = p["w"]
+        int4 = cfg.wq.n_bits <= 4 and w.ndim == 2
         center = 0.0 if cfg.wq.symmetric else float(2 ** (cfg.wq.n_bits - 1))
+
+        def per_out(a, n_out):
+            a = jnp.asarray(a, jnp.float32).reshape(-1)
+            return jnp.broadcast_to(a, (n_out,))
 
         def seg(ww, st):
             wq = weight_int_values(ww, st, cfg.wq)
-            w_c = (wq - center).astype(jnp.int8)
             delta = jnp.asarray(st["delta"], jnp.float32)
+            if int4:
+                # nib = wq + c in [0, 2^bits); w = nib*delta + off
+                c = float(cfg.wq.n_levels + 1) if cfg.wq.symmetric else 0.0
+                nib = (wq + c).astype(jnp.uint8)
+                k = nib.shape[0]
+                if k % 2:
+                    nib = jnp.pad(nib, ((0, 1), (0, 0)))
+                from qdiffusion_tpu.ops.pallas.int4_matmul import \
+                    pack_int4_weight
+
+                n_out = ww.shape[-1]
+                off = -(c + per_out(st["zero_point"], n_out)) \
+                    * per_out(delta, n_out)
+                # the consumer recovers odd-K padding from 2*wp.shape[0]
+                # vs the static segment width of x
+                return {"wp": pack_int4_weight(nib),
+                        "scale4": per_out(delta, n_out),
+                        "off4": off}
+            w_c = (wq - center).astype(jnp.int8)
             shift = (center - jnp.asarray(st["zero_point"],
                                           jnp.float32)) * delta
             return {"w_c": w_c,

@@ -70,10 +70,49 @@ def _quant_weight(ctx: QuantCtx, name: str, w: Array, cfg: LayerQuantConfig,
 def _stream_dequant(packed: dict, in_axis: int, dtype=jnp.bfloat16) -> Array:
     """int8-in-HBM weight -> carrier dtype, dequant fused into the consumer
     matmul/conv by XLA (deploy.stream_pack_model)."""
-    parts = [seg["w_c"].astype(dtype) * seg["scale"].astype(dtype)
-             + seg["shift"].astype(dtype) for seg in packed["segs"]]
+
+    def one(seg):
+        if "wp" in seg:  # nibble-packed int4 (XLA fallback path)
+            from qdiffusion_tpu.ops.pallas.int4_matmul import \
+                unpack_int4_weight
+
+            nib = unpack_int4_weight(seg["wp"]).astype(dtype)
+            return (nib * seg["scale4"].astype(dtype)
+                    + seg["off4"].astype(dtype))
+        return (seg["w_c"].astype(dtype) * seg["scale"].astype(dtype)
+                + seg["shift"].astype(dtype))
+
+    parts = [one(seg) for seg in packed["segs"]]
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
                                                             axis=in_axis)
+
+
+def _stream_dense_int4(packed: dict, x: Array, split: int) -> Array:
+    """Dense layer with nibble-packed int4 weights streamed through the
+    Pallas kernel (ops/pallas/int4_matmul.py). One kernel call per split
+    segment (independent quantizer grids per half); bias fused into the
+    first call's epilogue."""
+    import jax
+
+    from qdiffusion_tpu.ops.pallas.int4_matmul import int4_dense_stream
+
+    interpret = jax.default_backend() != "tpu"
+    segs = packed["segs"]
+    bounds = [(0, x.shape[-1])] if len(segs) == 1 else \
+        [(0, split), (split, x.shape[-1])]
+    y = None
+    for seg, (lo, hi) in zip(segs, bounds):
+        xs = x[..., lo:hi]
+        k_packed = 2 * seg["wp"].shape[0]
+        if k_packed != hi - lo:  # odd-K segment was zero-padded at pack
+            xs = jnp.pad(xs, [(0, 0)] * (xs.ndim - 1)
+                         + [(0, k_packed - (hi - lo))])
+        part = int4_dense_stream(
+            xs, seg["wp"], seg["scale4"], seg["off4"],
+            bias=packed.get("bias") if y is None else None,
+            out_dtype=x.dtype, interpret=interpret)
+        y = part if y is None else y + part
+    return y
 
 
 def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
@@ -112,6 +151,8 @@ def qdense(ctx: QuantCtx, name: str, p: dict, x: Array,
         return int8_dense(x, ctx.packed[name])
     if ctx.engine == "stream" and name in ctx.packed:
         pk = ctx.packed[name]
+        if any("wp" in seg for seg in pk["segs"]):
+            return _stream_dense_int4(pk, x, cfg.split)
         return nn.dense(x, _stream_dequant(pk, 0, x.dtype), pk.get("bias"))
     x = _quant_input(ctx, name, x, cfg)
     w = _quant_weight(ctx, name, p["w"], cfg, in_axis=0)

@@ -142,9 +142,66 @@ def bench_sd():
     return out
 
 
+def bench_dense_chain(n_layers=16, dim=4096, rows=64):
+    """Weight-bound dense chain (the serving-shape roofline case in
+    docs/PERF_NOTES.md): bf16 weights vs int8 streaming (XLA-fused
+    dequant) vs nibble-packed int4 through the Pallas kernel
+    (ops/pallas/int4_matmul.py)."""
+    import numpy as np
+
+    from qdiffusion_tpu.ops.pallas.int4_matmul import (
+        int4_stream_matmul, pack_int4_weight)
+
+    rng = np.random.default_rng(0)
+    ws, w8s, scales, shifts, wps, offs = [], [], [], [], [], []
+    for i in range(n_layers):
+        w = rng.normal(size=(dim, dim)).astype(np.float32) * 0.02
+        delta8 = np.abs(w).max(axis=0) / 127.0
+        q8 = np.clip(np.round(w / delta8), -128, 127)
+        delta4 = np.abs(w).max(axis=0) / 7.0
+        q4 = np.clip(np.round(w / delta4), -8, 7)
+        ws.append(jnp.asarray(w, jnp.bfloat16))
+        w8s.append(jnp.asarray(q8, jnp.int8))
+        scales.append(jnp.asarray(delta8, jnp.bfloat16))
+        shifts.append(jnp.zeros((dim,), jnp.bfloat16))
+        wps.append(pack_int4_weight(jnp.asarray(q4 + 8, jnp.uint8)))
+        offs.append((jnp.asarray(delta4, jnp.float32),
+                     jnp.asarray(-8.0 * delta4, jnp.float32)))
+    x = jnp.asarray(rng.normal(size=(rows, dim)), jnp.bfloat16)
+
+    def chain_bf16(x, ws):
+        for w in ws:
+            x = jnp.tanh(x @ w)
+        return x
+
+    def chain_int8(x, w8s, scales, shifts):
+        for w8, sc, sh in zip(w8s, scales, shifts):
+            x = jnp.tanh(x @ (w8.astype(jnp.bfloat16) * sc + sh))
+        return x
+
+    def chain_int4(x, wps, offs):
+        for wp, (sc, off) in zip(wps, offs):
+            x = jnp.tanh(int4_stream_matmul(
+                x, wp, sc, off, tile_m=64, tile_n=256, tile_k2=256,
+                out_dtype=jnp.bfloat16))
+        return x
+
+    b = time_steps(chain_bf16, x, ws, tag=f"dense chain bf16 "
+                   f"({n_layers}x{dim}^2, M={rows})", loop=50)
+    s8 = time_steps(chain_int8, x, w8s, scales, shifts,
+                    tag="dense chain int8-stream", loop=50)
+    s4 = time_steps(chain_int4, x, wps, offs,
+                    tag="dense chain int4-pallas", loop=50)
+    log(f"dense chain: int8 {b / s8:.2f}x, int4-pallas {b / s4:.2f}x vs "
+        f"bf16 ({n_layers * dim * dim * 2 / 2**20:.0f} MB bf16 weights)")
+    return b, s8, s4
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "cifar"):
         bench_cifar()
     if which in ("all", "sd"):
         bench_sd()
+    if which in ("all", "chain"):
+        bench_dense_chain()

@@ -55,12 +55,24 @@ def test_stream_pack_contents():
     assert split_sites
     for n in split_sites:
         assert len(packed[n]["segs"]) == 2
+    from qdiffusion_tpu.models.unet_ddim import _sub as _sub0
+
     for n, pk in packed.items():
+        dense = _sub0(params, n)["w"].ndim == 2
         for seg in pk["segs"]:
-            assert seg["w_c"].dtype == jnp.int8
-            # 4-bit grid recentred by 8: values in [-8, 7]
-            vals = np.asarray(seg["w_c"])
-            assert vals.min() >= -8 and vals.max() <= 7
+            if dense:
+                # 4-bit dense weights nibble-pack for the Pallas kernel
+                assert seg["wp"].dtype == jnp.uint8
+                from qdiffusion_tpu.ops.pallas.int4_matmul import \
+                    unpack_int4_weight
+
+                vals = np.asarray(unpack_int4_weight(seg["wp"]))
+                assert vals.min() >= 0 and vals.max() <= 15
+            else:
+                assert seg["w_c"].dtype == jnp.int8
+                # 4-bit grid recentred by 8: values in [-8, 7]
+                vals = np.asarray(seg["w_c"])
+                assert vals.min() >= -8 and vals.max() <= 7
 
     # default (deployed) pack streams only dense weights — convs fold
     dense = stream_pack_model(model, params, qstate)
