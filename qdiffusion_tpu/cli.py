@@ -304,21 +304,16 @@ def cmd_import_qstate(args):
         print(f"extracted FP params -> {args.params_out}")
 
 
-def cmd_sample(args):
+def build_engine(args, task):
+    """Shared model/engine setup for sample + serve: returns
+    (model, pipe, params, qstate, mode, model_fn)."""
     import jax
-    import jax.numpy as jnp
 
-    from qdiffusion_tpu.config import PRESETS, QuantFlags
+    from qdiffusion_tpu.config import QuantFlags
     from qdiffusion_tpu.deploy import make_quantized_step
-    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+    from qdiffusion_tpu.quant.context import QuantMode
     from qdiffusion_tpu.utils.checkpoints import load_qstate
-    from qdiffusion_tpu.utils.run_logging import (
-        Throughput,
-        save_images_png,
-        setup_run_dir,
-    )
 
-    task = PRESETS[args.task]
     qflags = QuantFlags(weight_bit=args.weight_bit, quant_act=args.quant_act,
                         act_bit=args.act_bit, a_sym=args.a_sym,
                         sm_abit=args.sm_abit, split=args.split) \
@@ -344,7 +339,7 @@ def cmd_sample(args):
             params = fold_weights(model, params, qstate)
             qstate, mode = None, None
         elif args.engine == "stream":
-            # weight-only deploy with int8 weights resident in HBM
+            # weight-only deploy with integer weights resident in HBM
             step = make_quantized_step(model, params, qstate,
                                        engine="stream")
             if task.family == "pixel":
@@ -353,6 +348,18 @@ def cmd_sample(args):
                 model_fn = lambda x, t, c=None: step(x, t, *(
                     (c,) if c is not None else ()))
             qstate, mode = None, None
+    return model, pipe, params, qstate, mode, model_fn
+
+
+def cmd_sample(args):
+    import jax
+    import jax.numpy as jnp
+
+    from qdiffusion_tpu.config import PRESETS
+    from qdiffusion_tpu.utils.run_logging import Throughput, save_images_png
+
+    task = PRESETS[args.task]
+    model, pipe, params, qstate, mode, model_fn = build_engine(args, task)
 
     cond, uncond = build_conditioning(args, task, pipe) \
         if task.family == "sd" else (None, None)
@@ -422,6 +429,67 @@ def cmd_sample(args):
         np.savez(nppath, all_img)
         print(f"wrote bulk dump {all_img.shape} -> {nppath}")
     print(f"wrote {idx} images to {out_dir}")
+
+
+def cmd_serve(args):
+    """Serving daemon: microbatching HTTP server over a deployed engine
+    (no reference counterpart — its entry points are one-shot scripts)."""
+    import jax.numpy as jnp
+
+    from qdiffusion_tpu.config import PRESETS
+    from qdiffusion_tpu.serving import (
+        DiffusionServer, Request, ServerConfig, make_generate_fn, serve_http)
+
+    task = PRESETS[args.task]
+    model, pipe, params, qstate, mode, model_fn = build_engine(args, task)
+    vae_params = load_vae_params(args, task) if task.family != "pixel" \
+        else None
+
+    encode_cond = None
+    uncond = None
+    if task.family == "sd" and args.tokenizer_dir:
+        from qdiffusion_tpu.models.clip_tokenizer import CLIPTokenizer
+
+        tdir = Path(args.tokenizer_dir)
+        tok = CLIPTokenizer(tdir / "vocab.json", tdir / "merges.txt")
+        clip_params = load_clip_params(args, task)
+
+        def encode_cond(req: Request):
+            prompt = req.prompt or ""
+            ids = tok([prompt], max_length=77)
+            return np.asarray(pipe.get_learned_conditioning(
+                clip_params, jnp.asarray(ids)))[0]
+
+        uncond_ids = tok([args.negative_prompt or ""], max_length=77)
+        uncond = pipe.get_learned_conditioning(clip_params,
+                                               jnp.asarray(uncond_ids))[0]
+
+    generate = make_generate_fn(
+        task, params, vae_params, pipe=pipe, model=model, qstate=qstate,
+        mode=mode, model_fn=model_fn, sampler=args.sampler,
+        steps=args.timesteps, guidance_scale=args.scale, uncond=uncond)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    server = DiffusionServer(
+        generate, ServerConfig(batch_buckets=buckets,
+                               max_wait_ms=args.max_wait_ms,
+                               max_queue=args.max_queue),
+        encode_cond=encode_cond)
+    if args.warmup:
+        # compile every bucket before accepting traffic
+        for b in buckets:
+            server.generate(Request(n=b, seed=0))
+        logger.info("warmup done: %s", server.stats())
+    httpd = serve_http(server, host=args.host, port=args.port)
+    print(f"serving {args.task} (engine={args.engine}) on "
+          f"http://{httpd.server_address[0]}:{httpd.server_address[1]}",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
 
 
 def load_vae_params(args, task):
@@ -577,6 +645,27 @@ def main(argv=None):
                          "on each process)")
     add_prompt_flags(sp)
     sp.set_defaults(fn=cmd_sample)
+
+    sp = sub.add_parser("serve", help="microbatching HTTP serving daemon")
+    sp.add_argument("--task", required=True)
+    sp.add_argument("--ckpt")
+    sp.add_argument("--vae-ckpt")
+    sp.add_argument("--qstate")
+    add_quant_flags(sp)
+    sp.add_argument("--engine", default="fold",
+                    choices=["sim", "fold", "int8", "stream"])
+    sp.add_argument("--sampler")
+    sp.add_argument("--timesteps", type=int)
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8470)
+    sp.add_argument("--buckets", default="1,2,4,8",
+                    help="batch buckets (one compiled program each)")
+    sp.add_argument("--max-wait-ms", type=float, default=20.0)
+    sp.add_argument("--max-queue", type=int, default=256)
+    sp.add_argument("--warmup", action="store_true",
+                    help="compile every bucket before accepting traffic")
+    add_prompt_flags(sp)
+    sp.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO)

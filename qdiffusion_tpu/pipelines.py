@@ -52,10 +52,14 @@ class PixelDiffusionPipeline:
                qstate: Optional[dict] = None,
                mode: Optional[QuantMode] = None,
                model_fn: Optional[Callable] = None,
-               return_trajectory: bool = False):
+               return_trajectory: bool = False,
+               x_init: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, sub = jax.random.split(rng)
-        x = jax.random.normal(sub, (n, image_size, image_size, channels))
+        # x_init lets callers supply the initial noise (e.g. the serving
+        # harness draws it per-item so results don't depend on batching)
+        x = x_init if x_init is not None else jax.random.normal(
+            sub, (n, image_size, image_size, channels))
         fn = model_fn or self.model_fn(params, qstate, mode)
         if sample_type == "generalized":
             seq = make_skip_sequence(self.schedule.num_timesteps, timesteps,
@@ -139,11 +143,12 @@ class LatentDiffusionPipeline:
                mode: Optional[QuantMode] = None,
                model_fn: Optional[Callable] = None,
                decode: bool = True,
-               return_trajectory: bool = False):
+               return_trajectory: bool = False,
+               x_init: Optional[jax.Array] = None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, sub = jax.random.split(rng)
-        x = jax.random.normal(sub, (n, latent_size, latent_size,
-                                    latent_channels))
+        x = x_init if x_init is not None else jax.random.normal(
+            sub, (n, latent_size, latent_size, latent_channels))
         fn = model_fn or self.model_fn(params, qstate, mode)
         ac = self.schedule.alphas_cumprod
         if sampler == "ddim":

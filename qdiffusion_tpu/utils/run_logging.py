@@ -70,6 +70,21 @@ def save_images_png(images, out_dir: Path, start_idx: int = 0,
     return start_idx + len(arr)
 
 
+def encode_png(image) -> bytes:
+    """One (H, W, C) image (uint8, or float in [0,1]) -> PNG bytes."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(image)
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr.squeeze()).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def save_npz(images, path: Path):
     import numpy as np
 

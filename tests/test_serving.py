@@ -1,0 +1,214 @@
+"""Serving harness: microbatching, padding, futures, HTTP front-end.
+
+The reference has no serving story (its entry points are one-shot batch
+scripts); this subsystem is beyond-parity. Most tests drive the server
+with a fake generate_fn (fast, deterministic); one integration test runs
+the real tiny pixel pipeline through make_generate_fn.
+"""
+
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from qdiffusion_tpu.serving import (
+    DiffusionServer,
+    Request,
+    ServerConfig,
+    make_generate_fn,
+    serve_http,
+)
+
+
+def seed_image_fn(record=None):
+    """Fake generate_fn: image pixels encode the item's seed."""
+
+    def gen(seeds, cond=None, scale=None):
+        if record is not None:
+            record.append((len(seeds), None if cond is None
+                           else np.asarray(cond).shape, scale))
+        return np.stack([np.full((4, 4, 1), (int(s) % 251) / 255.0)
+                         for s in np.asarray(seeds)])
+
+    return gen
+
+
+def test_results_map_back_to_items():
+    with DiffusionServer(seed_image_fn(),
+                         ServerConfig(batch_buckets=(1, 2, 4),
+                                      max_wait_ms=5.0)) as srv:
+        futs = [srv.submit(Request(n=1, seed=s)) for s in (3, 7, 11, 19, 23)]
+        for s, f in zip((3, 7, 11, 19, 23), futs):
+            imgs = f.result(timeout=30)
+            assert len(imgs) == 1
+            assert imgs[0].shape == (4, 4, 1)
+            assert imgs[0].flat[0] == s % 251
+
+
+def test_request_n_returns_ordered_images():
+    with DiffusionServer(seed_image_fn(),
+                         ServerConfig(batch_buckets=(4,))) as srv:
+        imgs = srv.generate(Request(n=4, seed=100), timeout=30)
+        assert [im.flat[0] for im in imgs] == [(100 + i) % 251
+                                               for i in range(4)]
+
+
+def test_microbatching_coalesces():
+    record = []
+    cfg = ServerConfig(batch_buckets=(1, 2, 4, 8), max_wait_ms=200.0)
+    with DiffusionServer(seed_image_fn(record), cfg) as srv:
+        futs = [srv.submit(Request(n=1, seed=s)) for s in range(8)]
+        for f in futs:
+            f.result(timeout=30)
+    # 8 items submitted within the wait window: expect few large batches,
+    # not 8 singles
+    sizes = [r[0] for r in record]
+    assert sum(sizes) >= 8
+    assert len(record) <= 4, sizes
+    st = srv.stats()
+    assert st["completed"] == 8 and st["submitted"] == 8
+
+
+def test_padding_to_bucket():
+    record = []
+    with DiffusionServer(seed_image_fn(record),
+                         ServerConfig(batch_buckets=(4,),
+                                      max_wait_ms=50.0)) as srv:
+        f = srv.submit(Request(n=3, seed=0))
+        f.result(timeout=30)
+    assert record == [(4, None, None)]  # 3 items padded to the 4-bucket
+    assert srv.stats()["items_padded"] == 1
+
+
+def test_cond_shapes_do_not_mix():
+    record = []
+
+    def enc(req):
+        # two distinct conditioning shapes keyed by prompt
+        d = 8 if (req.prompt or "").startswith("big") else 4
+        return np.zeros((2, d), np.float32)
+
+    with DiffusionServer(seed_image_fn(record),
+                         ServerConfig(batch_buckets=(1, 2, 4),
+                                      max_wait_ms=100.0),
+                         encode_cond=enc) as srv:
+        futs = [srv.submit(Request(n=1, seed=i, prompt=p))
+                for i, p in enumerate(["big a", "small a",
+                                       "big b", "small b"])]
+        for f in futs:
+            f.result(timeout=30)
+    for n, cshape, _ in record:
+        assert cshape is not None and cshape[0] == n  # stacked per item
+    assert all(r[1][2] in (4, 8) for r in record)
+    # no batch may mix the two shapes (guaranteed by construction: cond
+    # stacking would fail) — and they were not all serialized into singles
+    assert srv.stats()["completed"] == 4
+
+
+def test_error_propagates_and_server_survives():
+    calls = []
+
+    def flaky(seeds, cond=None, scale=None):
+        calls.append(len(seeds))
+        if len(calls) == 1:
+            raise ValueError("boom")
+        return np.zeros((len(seeds), 2, 2, 1), np.float32)
+
+    with DiffusionServer(flaky, ServerConfig(batch_buckets=(1,))) as srv:
+        with pytest.raises(ValueError, match="boom"):
+            srv.generate(Request(n=1, seed=0), timeout=30)
+        imgs = srv.generate(Request(n=1, seed=1), timeout=30)
+        assert imgs[0].shape == (2, 2, 1)
+        assert srv.stats()["failed"] == 1
+
+
+def test_backpressure():
+    release = threading.Event()
+
+    def slow(seeds, cond=None, scale=None):
+        release.wait(timeout=30)
+        return np.zeros((len(seeds), 2, 2, 1), np.float32)
+
+    srv = DiffusionServer(slow, ServerConfig(batch_buckets=(1,),
+                                             max_wait_ms=1.0, max_queue=2))
+    try:
+        f1 = srv.submit(Request(n=1, seed=0))
+        time.sleep(0.05)  # let the worker take item 1 off the queue
+        srv.submit(Request(n=1, seed=1))
+        srv.submit(Request(n=1, seed=2))
+        with pytest.raises(RuntimeError, match="queue full"):
+            srv.submit(Request(n=1, seed=3))
+    finally:
+        release.set()
+        f1.result(timeout=30)
+        srv.close()
+
+
+def test_http_roundtrip():
+    with DiffusionServer(seed_image_fn(),
+                         ServerConfig(batch_buckets=(1, 2))) as srv:
+        httpd = serve_http(srv, host="127.0.0.1", port=0)
+        th = threading.Thread(target=httpd.serve_forever, daemon=True)
+        th.start()
+        try:
+            host, port = httpd.server_address
+            conn = http.client.HTTPConnection(host, port, timeout=30)
+            conn.request("GET", "/healthz")
+            assert json.loads(conn.getresponse().read())["ok"] is True
+            body = json.dumps({"n": 2, "seed": 42})
+            conn.request("POST", "/generate", body,
+                         {"Content-Type": "application/json"})
+            resp = json.loads(conn.getresponse().read())
+            assert len(resp["images"]) == 2
+            import base64
+
+            png = base64.b64decode(resp["images"][0])
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            conn.request("GET", "/stats")
+            st = json.loads(conn.getresponse().read())
+            assert st["completed"] == 2
+            conn.request("GET", "/nope")
+            assert conn.getresponse().status == 404
+        finally:
+            httpd.shutdown()
+
+
+def test_real_pipeline_batch_invariant():
+    """make_generate_fn over the tiny pixel pipeline: a seed's image is
+    identical whether it was served alone or inside a larger batch
+    (per-item initial noise), and buckets compile once each."""
+    import jax
+
+    from qdiffusion_tpu.config import (
+        SamplerConfig, ScheduleConfig, TaskConfig)
+    from qdiffusion_tpu.models.unet_ddim import DDIMUNet, DDIMUNetConfig
+    from qdiffusion_tpu.pipelines import PixelDiffusionPipeline
+    from qdiffusion_tpu.schedules import NoiseSchedule
+
+    cfg = DDIMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=(), resolution=8)
+    task = TaskConfig(
+        name="tiny-serve", family="pixel",
+        schedule=ScheduleConfig("ddpm", "linear", 1e-4, 2e-2, 50),
+        sampler=SamplerConfig("generalized", 2, "uniform", 0.0),
+        image_size=8, channels=3, unet_ddim=cfg)
+    model = DDIMUNet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sched = NoiseSchedule.ddpm("linear", 1e-4, 2e-2, 50)
+    pipe = PixelDiffusionPipeline(model, sched)
+    gen = make_generate_fn(task, params, pipe=pipe, model=model)
+
+    solo = np.asarray(gen(np.asarray([7]), None, None))
+    pair = np.asarray(gen(np.asarray([3, 7]), None, None))
+    np.testing.assert_allclose(pair[1], solo[0], rtol=1e-5, atol=1e-6)
+
+    with DiffusionServer(gen, ServerConfig(batch_buckets=(1, 2))) as srv:
+        # items get seeds seed+i = 6, 7; item 1 must match the solo seed-7
+        imgs = srv.generate(Request(n=2, seed=6), timeout=120)
+        assert imgs[0].shape == (8, 8, 3)
+        got = imgs[1].astype(np.float32) / 255.0
+        want = np.clip(solo[0], 0, 1)
+        assert np.abs(got - want).max() <= 1 / 255.0 + 1e-6
