@@ -47,6 +47,16 @@ class CalibConfig:
     act_init_batch: int = 64
     sm_abit: int = 8
     skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
+    pipeline: bool = True  # overlap unit N+1 trace/compile with unit N's
+    # device execution (JAX async dispatch). The math is identical — the
+    # asym capture of unit N+1 depends on unit N's reconstructed qstate
+    # VALUES, which is an execution-time dependency XLA sequences on
+    # device; only the host-side per-unit block_until_ready (there purely
+    # for honest timing logs) forfeits the overlap. Remote-compile setups
+    # (axon tunnel: ~10-60s compiles per unit shape) hide most of every
+    # unit's compile behind the previous unit's 20k-iter Adam loop.
+    # Forced off when a checkpointer is used (snapshots pull qstate to
+    # host after every unit).
 
 
 def init_weight_qstate(model, params: dict) -> dict:
@@ -179,13 +189,21 @@ def calibrate(
         qstate = reconstruct_unit(model, params, qstate, unit, inps, out,
                                   cfg.weight, act_quant=False, rng=sub,
                                   sm_abit=cfg.sm_abit, cached_grads=grads)
-        jax.block_until_ready(qstate[unit.layer_names[0]]["w"]["delta"])
-        logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
-                    len(model.units), unit.name, time.time() - t0)
+        if checkpointer is not None or not cfg.pipeline:
+            jax.block_until_ready(qstate[unit.layer_names[0]]["w"]["delta"])
+            logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
+                        len(model.units), unit.name, time.time() - t0)
+        else:
+            logger.info("[%d/%d] weight recon %-28s dispatched (+%.1fs)",
+                        k + 1, len(model.units), unit.name, time.time() - t0)
         if checkpointer is not None:
             checkpointer.save(qstate, "weight", k)
     if start_phase == "weight":
         start_idx = 0
+        if cfg.pipeline and checkpointer is None:
+            t0 = time.time()
+            jax.block_until_ready(qstate)
+            logger.info("weight pass drained (%.1fs)", time.time() - t0)
 
     if not cfg.quant_act:
         if checkpointer is not None:

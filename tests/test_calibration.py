@@ -132,3 +132,26 @@ def test_end_to_end_tiny_calibration_and_sampling(setup):
     assert np.isfinite(np.asarray(xq)).all()
     rel = float(jnp.linalg.norm(xq - xf) / jnp.linalg.norm(xf))
     assert rel < 0.5  # W4A8 tiny-calib sanity bound
+
+
+def test_pipelined_calibration_matches_synchronous(setup):
+    """cfg.pipeline only removes host syncs (overlapping unit N+1's
+    trace/compile with unit N's device execution) — the calibrated qstate
+    must be bit-identical to the synchronous schedule."""
+    model, params, *_ = setup
+    xs = jax.random.normal(jax.random.PRNGKey(5), (8, 16, 16, 3))
+    ts = jnp.tile(jnp.array([100.0, 500.0]), 4)
+    base = dict(weight=ReconConfig(iters=16, batch_size=4),
+                act=ReconConfig(iters=8, batch_size=4, lr=4e-4, p=2.4),
+                quant_act=True, capture_batch=4, act_init_batch=8)
+    q_sync = calibrate(model, params, (xs, ts),
+                       CalibConfig(pipeline=False, **base),
+                       rng=jax.random.PRNGKey(6))
+    q_pipe = calibrate(model, params, (xs, ts),
+                       CalibConfig(pipeline=True, **base),
+                       rng=jax.random.PRNGKey(6))
+    flat_s, tdef_s = jax.tree_util.tree_flatten(q_sync)
+    flat_p, tdef_p = jax.tree_util.tree_flatten(q_pipe)
+    assert tdef_s == tdef_p
+    for a, b in zip(flat_s, flat_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
