@@ -75,6 +75,8 @@ def _kernel(x_lo_ref, x_hi_ref, wp_ref, scale_ref, scale_s_ref, const_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
         s_ref[:] = jnp.zeros_like(s_ref)
 
+    # unpack via int32 (Mosaic has no uint8->bf16 cast on TPU); the i32
+    # temps bound the VMEM budget in int4_dense_stream's tile picker
     w32 = wp_ref[:].astype(jnp.int32)
     lo = (w32 & 0xF).astype(jnp.bfloat16)   # nib rows [k*tile_k2 : +tile_k2)
     hi = (w32 >> 4).astype(jnp.bfloat16)    # nib rows [K/2 + same)
@@ -103,8 +105,8 @@ def int4_stream_matmul(
     off: Array,
     const: Array | None = None,
     *,
-    tile_m: int = 128,
-    tile_n: int = 256,
+    tile_m: int = 64,
+    tile_n: int = 4096,
     tile_k2: int = 256,
     out_dtype=jnp.float32,
     interpret: bool = False,
@@ -180,10 +182,21 @@ def int4_dense_stream(x: Array, wp: Array, scale: Array, off: Array,
     xm = x.reshape(-1, K)
     M = xm.shape[0]
     tile_m = 128 if M >= 128 else _round_up(max(M, 1), 16)
-    tile_n = 256 if N % 256 == 0 else 128
     # tile_k2 is the LANE dim of the x blocks: must be a multiple of 128
     # on hardware (K2 below 128 is zero-padded up)
     tile_k2 = 256 if K2 % 256 == 0 else 128
+    # Full-N tiles measured fastest (fewest grid revisits of the acc tile);
+    # cap by a VMEM budget: wp + lo/hi bf16 unpack (double-buffered) + acc
+    # f32 + out. ~12 bytes/packed-byte dominated by tile_k2*tile_n terms.
+    budget = 14 * 2**20
+    tile_n = 128
+    for cand in (4096, 2048, 1024, 512, 256, 128):
+        if N % cand:
+            continue
+        need = tile_k2 * cand * 9 + tile_m * cand * 8
+        if need <= budget:
+            tile_n = cand
+            break
     Mp, K2p, Np = (_round_up(M, tile_m), _round_up(K2, tile_k2),
                    _round_up(N, tile_n))
     if K2p != K2:

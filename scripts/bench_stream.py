@@ -182,7 +182,8 @@ def bench_dense_chain(n_layers=16, dim=4096, rows=64):
     def chain_int4(x, wps, offs):
         for wp, (sc, off) in zip(wps, offs):
             x = jnp.tanh(int4_stream_matmul(
-                x, wp, sc, off, tile_m=64, tile_n=256, tile_k2=256,
+                x, wp, sc, off, tile_m=min(64, rows),
+                tile_n=min(4096, dim), tile_k2=256,
                 out_dtype=jnp.bfloat16))
         return x
 
