@@ -411,6 +411,15 @@ def cmd_sample(args):
                 else task.sampler.guidance_scale,
                 qstate=qstate, mode=mode, model_fn=model_fn)
         tput.log(n)
+        if getattr(args, "watermark", None):
+            # invisible watermark on every output, reference
+            # txt2img.py:493-495 + :560-584 (in-repo encoder, no cv2 dep)
+            from qdiffusion_tpu.utils.watermark import embed_watermark
+
+            arr = (np.clip(np.asarray(imgs), 0, 1) * 255.0).round().astype(
+                np.uint8)
+            imgs = jnp.asarray(np.stack([
+                embed_watermark(im, args.watermark) for im in arr])) / 255.0
         if all_images is not None:
             all_images.append(
                 (np.asarray(imgs) * 255.0).astype(np.uint8))
@@ -637,6 +646,9 @@ def main(argv=None):
     sp.add_argument("--npz-out",
                     help="also dump all samples as one uint8 npz (dir -> "
                          "NxHxWxC-samples.npz, or an explicit .npz path)")
+    sp.add_argument("--watermark",
+                    help="invisible-watermark payload stamped on every "
+                         "output image (reference txt2img.py:493-495)")
     sp.add_argument("--dp", action="store_true",
                     help="shard the sampling batch over all devices")
     sp.add_argument("--mesh",

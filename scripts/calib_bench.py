@@ -12,6 +12,10 @@ Modes (argv[1], default 'block'):
 
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import jax
 import jax.numpy as jnp
 
