@@ -43,10 +43,10 @@ def log(msg):
               file=sys.stderr, flush=True)
 
 
-def time_steps(step_fn, x, *args, tag=""):
-    """Time LOOP chained steps. step_fn(x, *args) -> eps; *args (param
-    trees included) are threaded as jit arguments so nothing is captured
-    as program constants."""
+def make_runner(step_fn, x, *args, tag=""):
+    """Compile + warm a chained-LOOP runner; returns a one-rep timer.
+    step_fn(x, *args) -> eps; *args (param trees included) are threaded as
+    jit arguments so nothing is captured as program constants."""
 
     @jax.jit
     def run(x, *args):
@@ -64,12 +64,25 @@ def time_steps(step_fn, x, *args, tag=""):
     sync(x)  # compile
     sync(x + 0.002)  # true warm run (distinct input, post-compile flush)
     log(f"compiled {tag}")
-    best = float("inf")
-    for i in range(3):
+
+    def rep(i):
         t0 = time.perf_counter()
         sync(x + 0.001 * (i + 3))
-        best = min(best, (time.perf_counter() - t0) / LOOP)
-    log(f"{tag}: {best * 1e3:.2f} ms/step")
+        return (time.perf_counter() - t0) / LOOP
+
+    return rep
+
+
+def time_all(runners, reps=4):
+    """Interleave measurement rounds across engines so slow drift on the
+    tunnel cannot bias any ratio (fold IS the baseline's compiled program;
+    sequential timing sessions used to report spurious 0.98x)."""
+    best = {name: float("inf") for name, _ in runners}
+    for i in range(reps):
+        for name, rep in runners:
+            best[name] = min(best[name], rep(i))
+    for name, dt in best.items():
+        log(f"{name}: {dt * 1e3:.2f} ms/step")
     return best
 
 
@@ -93,16 +106,10 @@ def main():
     def apply_step(x, p):
         return model.apply(p, x.astype(jnp.bfloat16), t).astype(jnp.float32)
 
-    # one compile serves both the FP baseline and the weight-folded engine
-    fp_dt = time_steps(apply_step, x, params_bf16, tag="bf16 baseline")
-
     qstate = jax.jit(lambda p: init_weight_qstate(model, p))(params)
     jax.block_until_ready(qstate)
     log("weight qstate ready")
     folded = to_bf16(fold_weights(model, params, qstate))
-    # same compiled program as the baseline, folded weights as data
-    t0 = time.perf_counter()
-    fold_dt = time_steps(apply_step, x, folded, tag="fold W-only")
 
     qstate = init_act_qstate(model, params, qstate, x[:8], t[:8])
     log("act qstate ready")
@@ -118,9 +125,6 @@ def main():
         return model.apply(p, x.astype(jnp.bfloat16), t, ctx).astype(
             jnp.float32)
 
-    int8_dt = time_steps(int8_step, x, params, qstate, packed,
-                         tag="int8 W8A8")
-
     # the reference's actual deployed recipe: fp32 fake-quant simulation
     # (qdiff/quant_layer.py:66-89 runs every weight and activation through
     # the fp32 quantize-dequantize path at inference). This is what a user
@@ -130,8 +134,19 @@ def main():
         ctx = QuantCtx(q, mode=QuantMode(w=True, a=True, soft=False))
         return model.apply(p, x, t, ctx)
 
-    ref_sim_dt = time_steps(ref_sim_step, x, params, qstate,
-                            tag="reference-style fp32 fake-quant")
+    runners = [
+        # one compile serves both the FP baseline and the weight-folded
+        # engine (folded weights are just different data)
+        ("fp", make_runner(apply_step, x, params_bf16, tag="bf16 baseline")),
+        ("fold", make_runner(apply_step, x, folded, tag="fold W-only")),
+        ("int8", make_runner(int8_step, x, params, qstate, packed,
+                             tag="int8 W8A8")),
+        ("ref_sim", make_runner(ref_sim_step, x, params, qstate,
+                                tag="reference-style fp32 fake-quant")),
+    ]
+    best = time_all(runners)
+    fp_dt, fold_dt = best["fp"], best["fold"]
+    int8_dt, ref_sim_dt = best["int8"], best["ref_sim"]
 
     best_name, best_dt = min((("fold_w_only", fold_dt), ("int8_w8a8", int8_dt)),
                              key=lambda kv: kv[1])

@@ -47,14 +47,16 @@ class CalibConfig:
     act_init_batch: int = 64
     sm_abit: int = 8
     skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
-    pipeline: bool = True  # overlap unit N+1 trace/compile with unit N's
+    pipeline: bool = False  # overlap unit N+1 trace/compile with unit N's
     # device execution (JAX async dispatch). The math is identical — the
     # asym capture of unit N+1 depends on unit N's reconstructed qstate
-    # VALUES, which is an execution-time dependency XLA sequences on
-    # device; only the host-side per-unit block_until_ready (there purely
-    # for honest timing logs) forfeits the overlap. Remote-compile setups
-    # (axon tunnel: ~10-60s compiles per unit shape) hide most of every
-    # unit's compile behind the previous unit's 20k-iter Adam loop.
+    # VALUES, an execution-time dependency XLA sequences on device; only
+    # the host-side per-unit block_until_ready forfeits the overlap.
+    # MEASURED (scripts/calib_bench.py pipeline-{sync,async}, cold
+    # processes, 6 units x 4000 iters): on the axon remote-compile tunnel
+    # pipelining is 2.5x SLOWER (118s -> 299s) — compile requests and
+    # execution streams contend on the terminal — hence default off; on a
+    # conventional host-attached TPU the overlap is free wall-clock.
     # Forced off when a checkpointer is used (snapshots pull qstate to
     # host after every unit).
 
