@@ -166,3 +166,56 @@ def test_cfg_scale_changes_output(tmp_path, assets):
 
         outs[scale] = np.asarray(Image.open(next(out.glob("*.png"))))
     assert not np.array_equal(outs["1.0"], outs["7.5"])
+
+
+def test_serve_sd_prompt_http(assets, monkeypatch):
+    """CLI 'serve' on the SD task: prompt -> tokenizer -> CLIP cond per
+    request, CFG sampling, PNG over HTTP (serving.py; no reference
+    counterpart — its entry points are one-shot scripts)."""
+    import base64
+    import http.client
+    import json
+    import threading
+    import time
+
+    import qdiffusion_tpu.serving as serving
+
+    captured = {}
+    orig = serving.serve_http
+
+    def capture(server, **kw):
+        httpd = orig(server, **kw)
+        captured["httpd"] = httpd
+        captured["server"] = server
+        return httpd
+
+    monkeypatch.setattr(serving, "serve_http", capture)
+
+    argv = ["serve", "--task", "sd-tiny", "--port", "0",
+            "--buckets", "1,2", "--max-wait-ms", "5",
+            "--scale", "7.5",
+            "--tokenizer-dir", str(assets["dir"]),
+            "--clip-ckpt", str(assets["clip_npz"]),
+            "--vae-ckpt", str(assets["vae_npz"])]
+    th = threading.Thread(target=cli.main, args=(argv,), daemon=True)
+    th.start()
+    for _ in range(1200):
+        if "httpd" in captured:
+            break
+        time.sleep(0.1)
+    assert "httpd" in captured, "server did not come up"
+    try:
+        host, port = captured["httpd"].server_address
+        conn = http.client.HTTPConnection(host, port, timeout=300)
+        conn.request("POST", "/generate",
+                     json.dumps({"n": 1, "seed": 3, "prompt": PROMPT}),
+                     {"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert "images" in resp, resp
+        png = base64.b64decode(resp["images"][0])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        conn.request("GET", "/stats")
+        assert json.loads(conn.getresponse().read())["completed"] == 1
+    finally:
+        captured["httpd"].shutdown()
+        captured["server"].close()
