@@ -145,3 +145,80 @@ def test_w8a8_first_forward_parity():
         np.testing.assert_allclose(mine, rd, rtol=2e-2), name
         checked += 1
     assert checked >= 15  # all conv/linear act quantizers covered
+
+
+def _ref_ldm_quant_model(cfg, split: bool, weight_bit: int,
+                         quant_act: bool = False, act_bit: int = 8):
+    """Reference ldm UNetModel wrapped in the reference QuantModel, the way
+    txt2img.py:369-383 deploys it (split set on the module before wrap)."""
+    if not REF.exists():
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, str(REF))
+    from test_unet_ldm import _ref_unet  # reuses omegaconf stub + seed 0
+
+    import torch
+    from qdiff import QuantModel
+
+    m = _ref_unet(cfg)
+    m.split = split  # reference txt2img.py:370-371
+    sd = {k: v.clone() for k, v in m.state_dict().items()}
+    wq_params = {"n_bits": weight_bit, "channel_wise": True,
+                 "scale_method": "max"}
+    aq_params = {"n_bits": act_bit, "symmetric": False, "channel_wise": False,
+                 "scale_method": "max", "leaf_param": quant_act}
+    qnn = QuantModel(model=m, weight_quant_params=wq_params,
+                     act_quant_params=aq_params, sm_abit=8)
+    qnn.eval()
+    return qnn, sd
+
+
+@pytest.mark.parametrize("variant,weight_bit,split", [
+    ("sd", 8, False), ("beds", 4, True)])
+def test_ldm_weight_quant_forward_parity(variant, weight_bit, split):
+    """W-only quantized forward parity on the LDM/SD UNet vs the
+    reference's QuantModel (QuantResBlock split plumbing + QuantModule
+    wrapping of every conv/linear, qdiff/quant_model.py:25-61)."""
+    import torch
+
+    from qdiffusion_tpu.models.unet_ldm import (
+        LDMQuantPolicy, LDMUNet, LDMUNetConfig)
+    from test_unet_ldm import BEDS_TINY, SD_TINY
+
+    base = SD_TINY if variant == "sd" else BEDS_TINY
+    qnn, sd = _ref_ldm_quant_model(base, split, weight_bit)
+
+    rng = np.random.default_rng(0)
+    B = 2
+    x_nchw = rng.normal(size=(B, base.in_channels, base.image_size,
+                              base.image_size)).astype(np.float32)
+    t_np = np.array([100.0, 700.0], dtype=np.float32)
+    c_np = (rng.normal(size=(B, 7, base.context_dim)).astype(np.float32)
+            if base.use_spatial_transformer else None)
+
+    qnn.set_quant_state(True, False)
+    with torch.no_grad():
+        args = (torch.from_numpy(x_nchw), torch.from_numpy(t_np))
+        ref = qnn(*args, torch.from_numpy(c_np)).numpy() \
+            if c_np is not None else qnn(*args).numpy()
+
+    cfg = LDMUNetConfig(**{**base.__dict__, "split_shortcut": split})
+    policy = LDMQuantPolicy(
+        wq=AffineQuantizerSpec(n_bits=weight_bit, channel_wise=True,
+                               channel_axis=-1, scale_method="max"),
+        aq=AffineQuantizerSpec(n_bits=8, scale_method="max",
+                               leaf_param=False))
+    model = LDMUNet(cfg, policy)
+    params = state_dict_to_pytree(sd)
+
+    from qdiffusion_tpu.calib.engine import init_weight_qstate
+
+    qstate = init_weight_qstate(model, params)
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    ctx = QuantCtx(qstate, mode=QuantMode(w=True, a=False))
+    if c_np is not None:
+        ours = model.apply(params, x, jnp.asarray(t_np), ctx,
+                           context=jnp.asarray(c_np))
+    else:
+        ours = model.apply(params, x, jnp.asarray(t_np), ctx)
+    ours_nchw = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    np.testing.assert_allclose(ours_nchw, ref, rtol=2e-3, atol=2e-3)
