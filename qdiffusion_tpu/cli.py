@@ -368,7 +368,8 @@ def cmd_sample(args):
     rng = jax.random.PRNGKey(args.seed)
     batch = args.batch
     n_dev = len(jax.devices())
-    if (args.dp or args.mesh) and n_dev > 1:
+    dp = (args.dp or args.mesh) and n_dev > 1
+    if dp:
         # data-parallel FID sampling: replicate params, shard the batch
         # over the mesh; the scan-sampler runs SPMD with zero collectives.
         # --mesh 'dcn:H,data:N' builds the hybrid multi-host layout.
@@ -380,13 +381,37 @@ def cmd_sample(args):
         batch = (batch // n_dev) * n_dev or n_dev
         logger.info("data-parallel sampling over %s mesh, batch %d",
                     dict(zip(mesh.axis_names, mesh.devices.shape)), batch)
+
+    vae_params = load_vae_params(args, task) \
+        if task.family != "pixel" else None
+    gen = None
+    if not dp:
+        # one jitted program per batch shape with the param trees as jit
+        # ARGUMENTS — the eager pipe.sample path re-traces the sampler
+        # scan on the host every batch (measured ~20 s/batch overhead on
+        # the remote tunnel vs ~1 s of device time; serving.py)
+        from qdiffusion_tpu.serving import make_generate_fn
+
+        gen = make_generate_fn(
+            task, params, vae_params, pipe=pipe, model=model,
+            qstate=qstate, mode=mode, model_fn=model_fn,
+            sampler=args.sampler, steps=args.timesteps,
+            guidance_scale=args.scale,
+            uncond=uncond[0] if uncond is not None else None)
     idx = 0
     tput = Throughput()
     all_images = [] if args.npz_out else None
     while idx < args.n:
         n = min(batch, args.n - idx)
         rng, sub = jax.random.split(rng)
-        if task.family == "pixel":
+        if gen is not None:
+            # per-item seeds: deterministic per --seed and image index,
+            # independent of batching
+            seeds = np.arange(idx, idx + n, dtype=np.int64) \
+                + np.int64(args.seed) * 1000003
+            cond_n, _ = tile_conditioning(cond, uncond, n)
+            imgs = gen(seeds, cond_n)
+        elif task.family == "pixel":
             x, _ = pipe.sample(params, n,
                                timesteps=args.timesteps or task.sampler.timesteps,
                                skip_type=task.sampler.skip_type,
@@ -398,7 +423,6 @@ def cmd_sample(args):
                                qstate=qstate, mode=mode, model_fn=model_fn)
             imgs = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
         else:
-            vae_params = load_vae_params(args, task)
             cond_n, uncond_n = tile_conditioning(cond, uncond, n)
             imgs, _ = pipe.sample(
                 params, vae_params, n,

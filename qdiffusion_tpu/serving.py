@@ -257,11 +257,18 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
                      uncond=None):
     """generate_fn over a task preset + deployed engine, for DiffusionServer.
 
-    Each item's initial noise is drawn from its own seed (jitted per batch
-    bucket), so a given (seed, cond) yields the same image regardless of
-    which batch it landed in — for the deterministic samplers (ddim eta=0,
-    plms, dpm_solver). Conditioning (if any) arrives batched from the
-    server. Shapes are static per bucket, so each bucket compiles once."""
+    Each item's initial noise is drawn from its own seed, so a given
+    (seed, cond) yields the same image regardless of which batch it landed
+    in — for the deterministic samplers (ddim eta=0, plms, dpm_solver).
+    Conditioning (if any) arrives batched from the server.
+
+    The whole request computation is ONE jitted program per (bucket,
+    scale), with the param/vae/qstate trees threaded as jit arguments (not
+    closures): without this, every request re-traces the sampler scan on
+    the host — measured 20 s/request vs ~1 s of device time on the remote
+    tunnel. Engines that supply a pre-jitted `model_fn` closure (int8 /
+    stream) cannot be re-jitted from outside, so they keep the eager path;
+    `fold` (the serving default) and `sim` take the jitted one."""
     import jax
     import jax.numpy as jnp
 
@@ -272,15 +279,13 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
     else:
         shape = (task.latent_size, task.latent_size, task.latent_channels)
 
-    @jax.jit
     def _init_noise(seeds):
         keys = jax.vmap(jax.random.PRNGKey)(seeds.astype(jnp.uint32))
         return jax.vmap(lambda k: jax.random.normal(k, shape))(keys)
 
-    def generate(seeds, cond=None, scale=None):
-        seeds = jnp.asarray(seeds)
-        n = len(seeds)
-        x0 = _init_noise(seeds)
+    def _run(params, vae_params, qstate, seeds, cond, uncond_row, *,
+             n, scale):
+        x0 = _init_noise(jnp.asarray(seeds))
         key = jax.random.PRNGKey(0)  # only used by stochastic samplers
         if task.family == "pixel":
             x, _ = pipe.sample(
@@ -291,19 +296,27 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
                 qstate=qstate, mode=mode, model_fn=model_fn)
             return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
         uncond_n = None
-        if cond is not None and uncond is not None:
-            uncond_n = jnp.broadcast_to(uncond, (n,) + uncond.shape[-2:])
-        if scale is None:
-            scale = (guidance_scale if guidance_scale is not None
-                     else task.sampler.guidance_scale)
+        if cond is not None and uncond_row is not None:
+            uncond_n = jnp.broadcast_to(uncond_row,
+                                        (n,) + uncond_row.shape[-2:])
         imgs, _ = pipe.sample(
             params, vae_params, n, sampler=samp, steps=steps,
             eta=task.sampler.eta, latent_size=task.latent_size,
             latent_channels=task.latent_channels, rng=key, x_init=x0,
-            cond=None if cond is None else jnp.asarray(cond),
-            uncond=uncond_n, guidance_scale=scale,
+            cond=cond, uncond=uncond_n, guidance_scale=scale,
             qstate=qstate, mode=mode, model_fn=model_fn)
         return imgs
+
+    run = (_run if model_fn is not None
+           else jax.jit(_run, static_argnames=("n", "scale")))
+
+    def generate(seeds, cond=None, scale=None):
+        if scale is None:
+            scale = float(guidance_scale if guidance_scale is not None
+                          else task.sampler.guidance_scale)
+        return run(params, vae_params, qstate, jnp.asarray(seeds),
+                   None if cond is None else jnp.asarray(cond), uncond,
+                   n=len(seeds), scale=float(scale))
 
     return generate
 
