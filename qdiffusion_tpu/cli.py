@@ -369,6 +369,7 @@ def cmd_sample(args):
     batch = args.batch
     n_dev = len(jax.devices())
     dp = (args.dp or args.mesh) and n_dev > 1
+    mesh = None
     if dp:
         # data-parallel FID sampling: replicate params, shard the batch
         # over the mesh; the scan-sampler runs SPMD with zero collectives.
@@ -384,20 +385,21 @@ def cmd_sample(args):
 
     vae_params = load_vae_params(args, task) \
         if task.family != "pixel" else None
-    gen = None
-    if not dp:
-        # one jitted program per batch shape with the param trees as jit
-        # ARGUMENTS — the eager pipe.sample path re-traces the sampler
-        # scan on the host every batch (measured ~20 s/batch overhead on
-        # the remote tunnel vs ~1 s of device time; serving.py)
-        from qdiffusion_tpu.serving import make_generate_fn
+    # one jitted program per batch shape with the param trees as jit
+    # ARGUMENTS — the eager pipe.sample path re-traces the sampler scan on
+    # the host every batch (measured ~20 s/batch overhead on the remote
+    # tunnel vs ~1 s of device time; serving.py). Under --dp/--mesh the
+    # same program is jitted with batch-dim shardings (SPMD).
+    from qdiffusion_tpu.serving import make_generate_fn
 
-        gen = make_generate_fn(
-            task, params, vae_params, pipe=pipe, model=model,
-            qstate=qstate, mode=mode, model_fn=model_fn,
-            sampler=args.sampler, steps=args.timesteps,
-            guidance_scale=args.scale,
-            uncond=uncond[0] if uncond is not None else None)
+    gen = make_generate_fn(
+        task, params, vae_params, pipe=pipe, model=model,
+        qstate=qstate, mode=mode, model_fn=model_fn,
+        sampler=args.sampler, steps=args.timesteps,
+        guidance_scale=args.scale,
+        uncond=uncond[0] if uncond is not None else None, mesh=mesh)
+    if dp and model_fn is not None:
+        gen = None  # pre-jitted engine closures keep the legacy DP path
     idx = 0
     tput = Throughput()
     all_images = [] if args.npz_out else None
@@ -407,10 +409,11 @@ def cmd_sample(args):
         if gen is not None:
             # per-item seeds: deterministic per --seed and image index,
             # independent of batching
-            seeds = np.arange(idx, idx + n, dtype=np.int64) \
+            n_eff = n if mesh is None else -(-n // n_dev) * n_dev
+            seeds = np.arange(idx, idx + n_eff, dtype=np.int64) \
                 + np.int64(args.seed) * 1000003
-            cond_n, _ = tile_conditioning(cond, uncond, n)
-            imgs = gen(seeds, cond_n)
+            cond_n, _ = tile_conditioning(cond, uncond, n_eff)
+            imgs = gen(seeds, cond_n)[:n]  # drop mesh-padding items
         elif task.family == "pixel":
             x, _ = pipe.sample(params, n,
                                timesteps=args.timesteps or task.sampler.timesteps,

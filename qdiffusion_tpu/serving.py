@@ -254,7 +254,7 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
                      sampler: Optional[str] = None,
                      steps: Optional[int] = None,
                      guidance_scale: Optional[float] = None,
-                     uncond=None):
+                     uncond=None, mesh=None):
     """generate_fn over a task preset + deployed engine, for DiffusionServer.
 
     Each item's initial noise is drawn from its own seed, so a given
@@ -283,8 +283,9 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
         keys = jax.vmap(jax.random.PRNGKey)(seeds.astype(jnp.uint32))
         return jax.vmap(lambda k: jax.random.normal(k, shape))(keys)
 
-    def _run(params, vae_params, qstate, seeds, cond, uncond_row, *,
-             n, scale):
+    def _run(params, vae_params, qstate, seeds, cond, uncond_row, n, scale):
+        # n/scale are trailing POSITIONAL statics: pjit rejects kwargs
+        # when in_shardings is specified (the mesh path)
         x0 = _init_noise(jnp.asarray(seeds))
         key = jax.random.PRNGKey(0)  # only used by stochastic samplers
         if task.family == "pixel":
@@ -307,8 +308,21 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
             qstate=qstate, mode=mode, model_fn=model_fn)
         return imgs
 
-    run = (_run if model_fn is not None
-           else jax.jit(_run, static_argnames=("n", "scale")))
+    if model_fn is not None:
+        run = _run  # pre-jitted engine closure; cannot re-jit from outside
+    elif mesh is not None:
+        # data-parallel generate: params/qstate replicated, batch dim of
+        # seeds/cond/output sharded over the mesh — the scan-sampler runs
+        # SPMD with zero collectives (batch n must divide the mesh size)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        run = jax.jit(_run, static_argnums=(6, 7),
+                      in_shardings=(repl, repl, repl, data, data, repl),
+                      out_shardings=data)
+    else:
+        run = jax.jit(_run, static_argnums=(6, 7))
 
     def generate(seeds, cond=None, scale=None):
         if scale is None:
@@ -316,7 +330,7 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
                           else task.sampler.guidance_scale)
         return run(params, vae_params, qstate, jnp.asarray(seeds),
                    None if cond is None else jnp.asarray(cond), uncond,
-                   n=len(seeds), scale=float(scale))
+                   len(seeds), float(scale))
 
     return generate
 

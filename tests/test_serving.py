@@ -212,3 +212,40 @@ def test_real_pipeline_batch_invariant():
         got = imgs[1].astype(np.float32) / 255.0
         want = np.clip(solo[0], 0, 1)
         assert np.abs(got - want).max() <= 1 / 255.0 + 1e-6
+
+
+def test_generate_mesh_matches_single_device():
+    """make_generate_fn(mesh=...) shards the batch over the mesh as one
+    SPMD program; outputs must equal the single-device program's."""
+    import jax
+
+    from qdiffusion_tpu.config import (
+        SamplerConfig, ScheduleConfig, TaskConfig)
+    from qdiffusion_tpu.models.unet_ddim import DDIMUNet, DDIMUNetConfig
+    from qdiffusion_tpu.parallel.mesh import make_mesh, replicate
+    from qdiffusion_tpu.pipelines import PixelDiffusionPipeline
+    from qdiffusion_tpu.schedules import NoiseSchedule
+
+    cfg = DDIMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=(), resolution=8)
+    task = TaskConfig(
+        name="tiny-dp", family="pixel",
+        schedule=ScheduleConfig("ddpm", "linear", 1e-4, 2e-2, 50),
+        sampler=SamplerConfig("generalized", 2, "uniform", 0.0),
+        image_size=8, channels=3, unet_ddim=cfg)
+    model = DDIMUNet(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sched = NoiseSchedule.ddpm("linear", 1e-4, 2e-2, 50)
+    pipe = PixelDiffusionPipeline(model, sched)
+
+    seeds = np.arange(8, dtype=np.int64)
+    single = np.asarray(make_generate_fn(task, params, pipe=pipe,
+                                         model=model)(seeds))
+
+    mesh = make_mesh()
+    gen = make_generate_fn(task, replicate(params, mesh), pipe=pipe,
+                           model=model, mesh=mesh)
+    sharded_out = gen(seeds)
+    assert len(sharded_out.sharding.device_set) == len(jax.devices())
+    np.testing.assert_allclose(np.asarray(sharded_out), single,
+                               rtol=1e-5, atol=1e-6)
