@@ -90,7 +90,8 @@ def make_hybrid_mesh(dcn: int = 1, ici: Optional[int] = None,
 
 
 def parse_mesh_spec(spec: str) -> Mesh:
-    """'data:8' -> 1-axis mesh; 'dcn:2,data:4' -> hybrid 2-axis mesh.
+    """'data:8' -> 1-axis mesh; 'dcn:2,data:4' -> hybrid 2-axis mesh;
+    'data:2,model:4' -> data x tensor-parallel mesh (parallel/tp.py).
     The CLI's --mesh flag feeds this."""
     parts = dict(kv.split(":") for kv in spec.split(","))
     sizes = {k: int(v) for k, v in parts.items()}
@@ -98,8 +99,12 @@ def parse_mesh_spec(spec: str) -> Mesh:
         return make_mesh(sizes[DATA_AXIS])
     if set(sizes) == {DCN_AXIS, DATA_AXIS}:
         return make_hybrid_mesh(dcn=sizes[DCN_AXIS], ici=sizes[DATA_AXIS])
+    if set(sizes) == {DATA_AXIS, "model"}:
+        from qdiffusion_tpu.parallel.tp import make_tp_mesh
+
+        return make_tp_mesh(sizes[DATA_AXIS], sizes["model"])
     raise ValueError(f"unknown mesh axes {sorted(sizes)}; "
-                     f"use 'data:N' or 'dcn:H,data:N'")
+                     f"use 'data:N', 'dcn:H,data:N' or 'data:N,model:M'")
 
 
 def batch_spec(mesh: Mesh, ndim: int) -> P:

@@ -254,7 +254,7 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
                      sampler: Optional[str] = None,
                      steps: Optional[int] = None,
                      guidance_scale: Optional[float] = None,
-                     uncond=None, mesh=None):
+                     uncond=None, mesh=None, param_specs=None):
     """generate_fn over a task preset + deployed engine, for DiffusionServer.
 
     Each item's initial noise is drawn from its own seed, so a given
@@ -311,15 +311,29 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
     if model_fn is not None:
         run = _run  # pre-jitted engine closure; cannot re-jit from outside
     elif mesh is not None:
-        # data-parallel generate: params/qstate replicated, batch dim of
-        # seeds/cond/output sharded over the mesh — the scan-sampler runs
-        # SPMD with zero collectives (batch n must divide the mesh size)
+        # mesh generate: batch dim of seeds/cond/output sharded over the
+        # data axes — the scan-sampler runs SPMD with zero collectives
+        # (batch n must divide the data-axes size). If the mesh has a
+        # "model" axis, params are tensor-parallel-sharded megatron-style
+        # (parallel/tp.py) and XLA inserts the per-layer psums over it;
+        # qstate/vae stay replicated.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from qdiffusion_tpu.parallel.tp import (
+            MODEL_AXIS, tp_param_specs, tp_sharding_tree)
+
         repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+        batch_axes = tuple(a for a in mesh.axis_names if a != MODEL_AXIS)
+        data = NamedSharding(mesh, P(batch_axes))
+        p_sh = repl
+        if MODEL_AXIS in mesh.axis_names:
+            if param_specs is None and hasattr(model, "_plans"):
+                param_specs = tp_param_specs(
+                    model, params, mesh.shape[MODEL_AXIS])
+            if param_specs is not None:
+                p_sh = tp_sharding_tree(mesh, param_specs)
         run = jax.jit(_run, static_argnums=(6, 7),
-                      in_shardings=(repl, repl, repl, data, data, repl),
+                      in_shardings=(p_sh, repl, repl, data, data, repl),
                       out_shardings=data)
     else:
         run = jax.jit(_run, static_argnums=(6, 7))
