@@ -43,6 +43,12 @@ from qdiffusion_tpu.quant.context import QuantCtx
 
 Array = jnp.ndarray
 
+# Key-length at which attention auto-dispatches to the flash path at
+# inference (measured crossover on v5e, scripts/bench_attention.py: the
+# Pallas kernel ties or wins fp+quantized from 1024 tokens — 1.9x fp /
+# 1.14x quant at 4096; see PERF_NOTES.md).
+FLASH_SEQ_DEFAULT = 1024
+
 
 @dataclasses.dataclass(frozen=True)
 class LDMUNetConfig:
@@ -120,33 +126,38 @@ class LDMUNet(QuantModelBase):
     def __init__(self, config: LDMUNetConfig,
                  policy: Optional[LDMQuantPolicy] = None,
                  act_quant_partition: bool = False,
-                 flash_threshold: int = 0):
+                 flash_threshold: Optional[int] = None):
         """act_quant_partition: when True, AttentionBlocks decompose into
         qkv/proj_out layer units + matmul act units (reference get_specials
         with leaf_param=True, quant_block.py:389-401); when False the whole
         AttentionBlock is one reconstruction unit.
 
-        flash_threshold: self-attention sequence length at or above which
-        the blockwise (flash-style) attention path is used at inference —
-        it never materializes the T x T matrix (subsumes the reference
-        is_sm 4096-token memory workaround). 0 (default) disables: on v5e
-        the 4096-token SD matrices fit HBM comfortably and the two-pass
-        scheme costs ~25% extra attention FLOPs, so it is an opt-in for
-        memory-constrained configs (large batch / higher resolution).
+        flash_threshold: KEY sequence length at or above which attention
+        dispatches to the flash path (ops/attention.py::blockwise_attention
+        -> the Pallas VMEM-tile kernel on TPU) instead of materializing the
+        (T, S) matrix — subsumes the reference's is_sm 4096-token memory
+        workaround. None (default) = FLASH_SEQ_DEFAULT, where the Pallas
+        kernel is measured faster than the materializing path on v5e for
+        both fp and quantized inference (scripts/bench_attention.py);
+        0 disables. Gating on the key length keeps 77-token
+        cross-attention contexts on the cheap materializing path.
         Calibration-time passes (collect / capture) always materialize,
-        because block reconstruction caches the matmul operands."""
+        because block reconstruction caches the matmul operands; the int8
+        engine keeps its integer matmul path."""
         super().__init__()
         self.cfg = config
         self.policy = policy or LDMQuantPolicy()
         self.act_quant_partition = act_quant_partition
-        self.flash_threshold = flash_threshold
+        self.flash_threshold = (FLASH_SEQ_DEFAULT if flash_threshold is None
+                                else flash_threshold)
         self._conv_sizes = {}
         self._build()
         self._unit_map = {u.name: u for u in self._units}
 
-    def _use_blockwise(self, ctx: QuantCtx, seq_len: int) -> bool:
-        return (self.flash_threshold > 0 and seq_len >= self.flash_threshold
-                and ctx.collect is None and ctx.capture is None)
+    def _use_blockwise(self, ctx: QuantCtx, key_len: int) -> bool:
+        return (self.flash_threshold > 0 and key_len >= self.flash_threshold
+                and ctx.collect is None and ctx.capture is None
+                and ctx.engine != "int8")
 
     # ------------------------------------------------------------------
     # static construction (mirrors openaimodel.py:545-745)
@@ -503,7 +514,7 @@ class LDMUNet(QuantModelBase):
         k = k.reshape(b, tk, heads, d)
         v = v.reshape(b, tk, heads, d)
         scale = d ** -0.5
-        if self._use_blockwise(ctx, tq):
+        if self._use_blockwise(ctx, tk):
             from qdiffusion_tpu.ops.attention import blockwise_attention
 
             qq = ctx.act_quant(site, "q", q, self.policy.aq)

@@ -26,49 +26,88 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
+from qdiffusion_tpu.quant.affine import AffineQuantizerSpec, fake_quant
 
 Array = jnp.ndarray
 
 _VMEM_SCORE_LIMIT = 6 * 1024 * 1024  # bytes of f32 scores per program
 
 
-def _fq(x, delta, zp, *, n_levels: int, symmetric: bool, carrier_bf16: bool):
-    """fake_quant with scalar delta/zp, matching quant/affine.py exactly
-    (incl. the bf16 carrier round-trip the model paths apply)."""
-    xi = jnp.round(x / delta) + zp
+def _fq(x, delta, inv_delta, zp, *, n_levels: int, symmetric: bool,
+        always_zero: bool = False, nonneg: bool = False):
+    """fake_quant grid math in f32 with scalar delta/zp, matching
+    quant/affine.py::fake_quant up to division-vs-reciprocal rounding
+    (x * (1/delta) instead of x / delta: per-element division costs many
+    VPU cycles per lane; the <=1-ulp difference can only flip a rounding
+    bucket when x/delta sits within ~1e-7 of a half-integer).
+
+    The epilogue is VPU-bound on large score tiles, so statically-known
+    structure trims op passes: `always_zero` (the post-softmax quantizer,
+    quant_block.py:248-252) drops the zero-point add/sub; `nonneg`
+    (softmax probabilities) drops the lower clip."""
+    xi = jnp.round(x * inv_delta)
+    if not always_zero:
+        xi = xi + zp
     if symmetric:
         xq = jnp.clip(xi, -n_levels - 1, n_levels)
+    elif nonneg and always_zero:
+        xq = jnp.minimum(xi, n_levels - 1)
     else:
         xq = jnp.clip(xi, 0, n_levels - 1)
-    y = (xq - zp) * delta
-    if carrier_bf16:
-        y = y.astype(jnp.bfloat16).astype(jnp.float32)
-    return y
+    if always_zero:
+        return xq * delta
+    return (xq - zp) * delta
 
 
 def _kernel(scal_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
-            s_valid: int, sm_cfg, v_cfg, carrier_bf16: bool):
-    q = q_ref[0].astype(jnp.float32)  # (Tq, D)
-    k = k_ref[0].astype(jnp.float32)  # (Sp, D)
+            s_valid: int, sm_cfg, bf16: bool):
+    # bf16 inputs: both MXU dots run on bf16 operands with f32 accumulation,
+    # exactly like the model paths (ops/attention.py einsums on native-dtype
+    # operands with preferred_element_type=f32) — and at full MXU rate. f32
+    # inputs (tests): everything stays f32.
+    q = q_ref[0]  # (Tq, D)
+    k = k_ref[0]  # (Sp, D)
+    if not bf16:
+        q = q.astype(jnp.float32)
+        k = k.astype(jnp.float32)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (Tq, Sp)
+        preferred_element_type=jnp.float32) * scale  # (Tq, Sp) f32
     if s_valid < s.shape[1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < s_valid, s, -jnp.inf)
     m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    if sm_cfg is not None:
-        p = _fq(p, scal_ref[0, 0], scal_ref[0, 1], n_levels=sm_cfg[0],
-                symmetric=sm_cfg[1], carrier_bf16=carrier_bf16)
-    v = v_ref[0].astype(jnp.float32)
-    if v_cfg is not None:
-        v = _fq(v, scal_ref[0, 2], scal_ref[0, 3], n_levels=v_cfg[0],
-                symmetric=v_cfg[1], carrier_bf16=carrier_bf16)
-    o_ref[0] = jnp.dot(p, v,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    e = jnp.exp(s - m)
+    # Per-element division on the (Tq, S) tile is many VPU cycles/lane;
+    # normalize via the row reciprocal (Tq divisions instead of Tq*S).
+    linv = 1.0 / jnp.sum(e, axis=1, keepdims=True)
+    cd = jnp.bfloat16 if bf16 else jnp.float32
+
+    # V arrives pre-quantized (hoisted to one XLA fake_quant outside the
+    # kernel): the (S, D) tile is as large as the score tile, and an
+    # in-kernel V epilogue would be recomputed by every q-tile program —
+    # measured ~1 ms of redundant VPU work at the SD 4096-token shape.
+    v = v_ref[0].astype(cd)
+
+    if sm_cfg is None:
+        # unquantized softmax: fold the normalizer into the (Tq, D) output
+        # instead of the (Tq, S) tile — S/D x less epilogue work
+        o = jax.lax.dot_general(
+            e.astype(cd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (o * linv).astype(o_ref.dtype)
+        return
+    p = e * linv
+    if bf16:
+        # model path rounds softmax output to the bf16 carrier BEFORE the
+        # post-softmax quantizer (attention.py:36 `.astype(q.dtype)`)
+        p = p.astype(jnp.bfloat16).astype(jnp.float32)
+    p = _fq(p, scal_ref[0, 0], 1.0 / scal_ref[0, 0], scal_ref[0, 1],
+            n_levels=sm_cfg[0], symmetric=sm_cfg[1],
+            always_zero=sm_cfg[2], nonneg=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(cd), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -91,6 +130,12 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
         x = jnp.moveaxis(x, 2, 1).reshape(B * H, L, x.shape[-1])
         return x
 
+    if v_q is not None:
+        # hoisted V quantization: one fused XLA fake_quant over (B, S, H, D)
+        # instead of a per-q-tile in-kernel epilogue (see _kernel docstring)
+        v_st, v_spec = v_q
+        v = fake_quant(v, v_st["delta"], v_st["zero_point"], v_spec)
+
     qf = to_bhd(q, T)
     kf = to_bhd(k, S)
     vf = to_bhd(v, S)
@@ -109,20 +154,19 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
         st, spec = pair
         return (jnp.asarray(st["delta"], jnp.float32).reshape(()),
                 jnp.asarray(st["zero_point"], jnp.float32).reshape(()),
-                (spec.n_levels, spec.symmetric))
+                (spec.n_levels, spec.symmetric, spec.always_zero))
 
     sm_d, sm_z, sm_cfg = st_scalars(sm_q)
-    v_d, v_z, v_cfg = st_scalars(v_q)
-    scalars = jnp.stack([sm_d, sm_z, v_d, v_z]).reshape(1, 4)
+    scalars = jnp.stack([sm_d, sm_z]).reshape(1, 2)
 
     kern = functools.partial(
-        _kernel, scale=scale, s_valid=S, sm_cfg=sm_cfg, v_cfg=v_cfg,
-        carrier_bf16=in_dtype == jnp.bfloat16)
+        _kernel, scale=scale, s_valid=S, sm_cfg=sm_cfg,
+        bf16=in_dtype == jnp.bfloat16)
     out = pl.pallas_call(
         kern,
         grid=(B * H, Tp // tile_q),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda b, i: (0, 0),
+            pl.BlockSpec((1, 2), lambda b, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tile_q, Dp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),

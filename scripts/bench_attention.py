@@ -37,6 +37,8 @@ def time_fn(fn, q, k, v, tag="", loop=30):
 
 
 B, T, H, D = 2, 4096, 8, 40  # SD 64x64 self-attention
+if len(sys.argv) > 1:
+    T = int(sys.argv[1])  # e.g. 1024 (LDM-8 32x32), 2048, 4096
 q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D), jnp.bfloat16)
 k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D), jnp.bfloat16)
 v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D), jnp.bfloat16)
