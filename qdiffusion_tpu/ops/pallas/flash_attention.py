@@ -10,9 +10,12 @@ row softmax, applies the static-delta fake-quant to the normalized
 probabilities (and to V), and writes only the (Tq, D) output — ONE QK^T,
 zero HBM traffic for scores.
 
-VMEM bounds the tile: f32 scores take Tq*S*4 bytes (Tq=128, S=4096 ->
-2 MB), checked by `flash_supported`. Quantizer deltas/zero-points ride as
-SMEM scalars so one compiled kernel serves every calibration state.
+VMEM bounds the reach: f32 scores take Tq*S*4 bytes (two live copies) and
+K/V stay resident, double-buffered — `_pick_tile_q` shrinks the q-tile
+(128 -> 64 -> 32) to fit the budget, carrying sequences to 8k tokens;
+beyond that `flash_supported` fails and the caller streams via the XLA
+blockwise path. Quantizer delta/zero-point ride as SMEM scalars so one
+compiled kernel serves every calibration state.
 """
 
 from __future__ import annotations
@@ -30,7 +33,26 @@ from qdiffusion_tpu.quant.affine import AffineQuantizerSpec, fake_quant
 
 Array = jnp.ndarray
 
-_VMEM_SCORE_LIMIT = 6 * 1024 * 1024  # bytes of f32 scores per program
+_VMEM_BUDGET = 15 * 1024 * 1024  # of the 16MB scoped-vmem limit on v5e
+
+
+def _pick_tile_q(S: int, Dp: int, itemsize: int) -> Optional[int]:
+    """Largest q-tile fitting the scoped-VMEM limit; None when even tile
+    32 does not (the caller then falls back to the streaming XLA blockwise
+    path). Cost model measured against the Mosaic allocator (v5e, 16MB
+    scoped vmem): TWO f32 score-tile copies live simultaneously (s and
+    exp(s-m)) and K/V are DOUBLE-BUFFERED by the pipeline even though
+    their index map is constant across the q-tile grid dimension — a
+    16k/tile-32 kernel allocates 16.03MB (2*2MB scores + 2*(4+4)MB K/V),
+    just over the limit. Shrinking the tile trades MXU M-efficiency for
+    reach: the resident-K/V scheme carries 8k-token sequences; 16k+
+    (1024^2-image latents) needs K/V streaming and falls back to the XLA
+    blockwise path."""
+    kv = 2 * S * Dp * itemsize
+    for tq in (128, 64, 32):
+        if 2 * tq * S * 4 + 2 * kv <= _VMEM_BUDGET:
+            return tq
+    return None
 
 
 def _fq(x, delta, inv_delta, zp, *, n_levels: int, symmetric: bool,
@@ -117,14 +139,19 @@ def _round_up(x: int, m: int) -> int:
 def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
                     sm_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
                     v_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
-                    tile_q: int = 128, interpret: bool = False) -> Array:
+                    tile_q: Optional[int] = None,
+                    interpret: bool = False) -> Array:
     """q: (B, T, H, D); k, v: (B, S, H, D) -> (B, T, H, D).
 
     Matches ops/attention.py::materializing_attention / blockwise_attention
-    (same static-delta quantization of normalized probabilities and V)."""
+    (same static-delta quantization of normalized probabilities and V).
+    tile_q None = auto (largest tile that fits VMEM, _pick_tile_q)."""
     B, T, H, D = q.shape
     S = k.shape[1]
     in_dtype = q.dtype
+    if tile_q is None:
+        tile_q = _pick_tile_q(_round_up(S, 128), _round_up(D, 128),
+                              in_dtype.itemsize) or 128
 
     def to_bhd(x, L):
         x = jnp.moveaxis(x, 2, 1).reshape(B * H, L, x.shape[-1])
@@ -184,9 +211,10 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
     return jnp.moveaxis(out, 1, 2)
 
 
-def flash_supported(q_shape, k_shape, tile_q: int = 128) -> bool:
-    """Does the score tile fit the per-program VMEM budget on TPU?"""
+def flash_supported(q_shape, k_shape) -> bool:
+    """Can some q-tile size fit the per-program VMEM budget on TPU?"""
     if jax.default_backend() != "tpu":
         return False
     S = _round_up(k_shape[1], 128)
-    return tile_q * S * 4 <= _VMEM_SCORE_LIMIT
+    Dp = _round_up(q_shape[-1], 128)
+    return _pick_tile_q(S, Dp, 2) is not None

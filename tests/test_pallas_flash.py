@@ -89,5 +89,19 @@ def test_padding_unaligned_shapes():
 def test_supported_gate():
     assert flash_supported((2, 4096, 8, 40), (2, 4096, 8, 40)) == (
         jax.default_backend() == "tpu")
-    # 64k keys would need a 32MB score tile: always refused
+    # 8k keys reachable via q-tile shrink (measured VMEM cost model)
+    assert flash_supported((2, 8192, 8, 40), (2, 8192, 8, 40)) == (
+        jax.default_backend() == "tpu")
+    # 16k+: double-buffered resident K/V exceeds scoped VMEM — refused
+    # (the XLA blockwise path streams those)
+    assert not flash_supported((2, 16384, 8, 40), (2, 16384, 8, 40))
     assert not flash_supported((1, 128, 1, 64), (1, 65536, 1, 64))
+
+
+def test_auto_tile_matches_fixed_tile():
+    """tile_q=None auto-pick computes the same function as explicit tiles."""
+    q, k, v = _qkv(B=1, T=16, S=48, H=2, D=16, seed=4)
+    a = flash_attention(q, k, v, scale=0.25, tile_q=8, interpret=INTERP)
+    b = flash_attention(q, k, v, scale=0.25, interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-6, atol=1e-6)
