@@ -134,6 +134,33 @@ def main():
         ctx = QuantCtx(q, mode=QuantMode(w=True, a=True, soft=False))
         return model.apply(p, x, t, ctx)
 
+    # Pallas flash attention at the SD 4096-token self-attention shape
+    # (B2 H8 D40, the hot attention of the sd_v1/lsun_beds headline tasks;
+    # LDMUNet auto-dispatches to it at key length >= 1024)
+    from qdiffusion_tpu.ops.attention import materializing_attention
+    from qdiffusion_tpu.ops.pallas.flash_attention import (
+        flash_attention, flash_supported)
+
+    qa = jax.random.normal(jax.random.PRNGKey(2), (2, 4096, 8, 40),
+                           jnp.bfloat16)
+    ka = jax.random.normal(jax.random.PRNGKey(3), (2, 4096, 8, 40),
+                           jnp.bfloat16)
+    va = jax.random.normal(jax.random.PRNGKey(4), (2, 4096, 8, 40),
+                           jnp.bfloat16)
+    attn_scale = 40 ** -0.5
+
+    def attn_step(fn):
+        return lambda x, k, v: fn(x, k, v, scale=attn_scale).astype(x.dtype)
+
+    attn_runners = []
+    if flash_supported(qa.shape, ka.shape):
+        attn_runners = [
+            ("attn_mat", make_runner(attn_step(materializing_attention),
+                                     qa, ka, va, tag="attn materializing")),
+            ("attn_flash", make_runner(attn_step(flash_attention),
+                                       qa, ka, va, tag="attn flash")),
+        ]
+
     runners = [
         # one compile serves both the FP baseline and the weight-folded
         # engine (folded weights are just different data)
@@ -143,10 +170,18 @@ def main():
                              tag="int8 W8A8")),
         ("ref_sim", make_runner(ref_sim_step, x, params, qstate,
                                 tag="reference-style fp32 fake-quant")),
-    ]
+    ] + attn_runners
     best = time_all(runners)
     fp_dt, fold_dt = best["fp"], best["fold"]
     int8_dt, ref_sim_dt = best["int8"], best["ref_sim"]
+    attn_extra = {}
+    if attn_runners:
+        attn_extra = {
+            "sd_attn_materializing_ms": round(best["attn_mat"] * 1e3, 3),
+            "sd_attn_flash_ms": round(best["attn_flash"] * 1e3, 3),
+            "sd_attn_flash_speedup": round(
+                best["attn_mat"] / best["attn_flash"], 3),
+        }
 
     best_name, best_dt = min((("fold_w_only", fold_dt), ("int8_w8a8", int8_dt)),
                              key=lambda kv: kv[1])
@@ -161,6 +196,7 @@ def main():
         "int8_vs_baseline": round(fp_dt / int8_dt, 4),
         "ref_sim_ms": round(ref_sim_dt * 1e3, 3),
         "vs_reference_deployment": round(ref_sim_dt / best_dt, 4),
+        **attn_extra,
         "roofline_note": "docs/PERF_NOTES.md: v5e runs int8 MXU at 0.78x "
                          "bf16 rate and the step is conv-bound at ~93 "
                          "TFLOPs, so quantized-vs-bf16 is capped near 1.0; "

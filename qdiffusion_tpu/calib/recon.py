@@ -102,6 +102,51 @@ def extract_trainable(qstate: dict, unit, mode: str,
     return train
 
 
+def _insert_path(tree: dict, dotted: str, node) -> None:
+    parts = dotted.split(".")
+    cur = tree
+    for p in parts[:-1]:
+        cur = cur.setdefault(p, {})
+    cur[parts[-1]] = node
+
+
+def unit_param_subtree(params: dict, unit) -> dict:
+    """The minimal params subtree `unit.apply` reads (the unit's own block
+    subtree plus any layer paths outside it), re-rooted with the original
+    nesting so the unit's absolute-path lookups still resolve.
+
+    Passing this as a jit ARGUMENT instead of closing over the full tree
+    keeps weights out of the compiled program (multi-MB constants) and —
+    decisive for calibration wall time — makes the reconstruction HLO
+    shape-only, so every same-shaped unit (e.g. the repeated ResBlocks of
+    a UNet stage) hits the persistent compilation cache instead of paying
+    its own remote compile."""
+    from qdiffusion_tpu.models.base import _sub
+
+    paths: list = []
+    for pth in [unit.name] + list(unit.layer_names):
+        if any(pth == q or pth.startswith(q + ".") for q in paths):
+            continue
+        paths = [q for q in paths if not q.startswith(pth + ".")]
+        paths.append(pth)
+    sub: dict = {}
+    for pth in paths:
+        try:
+            node = _sub(params, pth)
+        except (KeyError, TypeError):
+            continue  # non-param site (e.g. attention matmul unit names)
+        _insert_path(sub, pth, node)
+    return sub
+
+
+def unit_qstate_subtree(qstate: dict, unit) -> dict:
+    """The unit's quantizer states (flat site-keyed dict, same layout as
+    the full qstate so QuantCtx lookups resolve unchanged)."""
+    sites = (list(unit.layer_names) + [unit.name]
+             + list(getattr(unit, "extra_sites", [])))
+    return {s: qstate[s] for s in dict.fromkeys(sites) if s in qstate}
+
+
 def merge_trainable(qstate: dict, train: dict, mode: str) -> dict:
     key = "alpha" if mode == "weight" else "delta"
     new = {k: dict(v) for k, v in qstate.items()}
@@ -173,11 +218,18 @@ def reconstruct_unit(
     else:
         opt = optax.adam(cfg.alpha_lr)
 
-    def loss_fn(train, b_x, b_t_aux, b_out, b_grad, b_temp, count):
-        q = merge_trainable(qstate, train, mode)
+    # shape-only HLO: the unit's param/qstate subtrees ride as jit
+    # arguments (see unit_param_subtree) so repeated same-shaped units
+    # share one compiled program via the persistent compilation cache
+    sub_params = unit_param_subtree(params, unit)
+    sub_qstate = unit_qstate_subtree(qstate, unit)
+
+    def loss_fn(train, sub_p, sub_q, b_x, b_t_aux, b_out, b_grad, b_temp,
+                count):
+        q = merge_trainable(sub_q, train, mode)
         ctx = QuantCtx(q, mode=fwd_mode)
         inps = (b_x,) if b_t_aux is None else (b_x, b_t_aux)
-        pred = unit.apply(params, ctx, *inps)
+        pred = unit.apply(sub_p, ctx, *inps)
         if cfg.opt_mode != "mse":
             from qdiffusion_tpu.calib.fisher import fisher_rec_loss
 
@@ -202,7 +254,7 @@ def reconstruct_unit(
     two_inputs = len(cached_inps) > 1
 
     @jax.jit
-    def run(train0, inps, out, fgrads, key):
+    def run(train0, sub_p, sub_q, inps, out, fgrads, key):
         def body(i, carry):
             train, opt_state, k = carry
             key_i = jax.random.fold_in(k, i)
@@ -214,7 +266,8 @@ def reconstruct_unit(
                       if fgrads is not None else None)
             b_temp = temp_decay(i + 1.0, cfg.iters, cfg.warmup, cfg.b_start,
                                 cfg.b_end)
-            grads = grad_fn(train, b_x, b_aux, b_out, b_grad, b_temp, i + 1.0)
+            grads = grad_fn(train, sub_p, sub_q, b_x, b_aux, b_out, b_grad,
+                            b_temp, i + 1.0)
             updates, opt_state = opt.update(grads, opt_state, train)
             train = optax.apply_updates(train, updates)
             return (train, opt_state, k)
@@ -224,5 +277,6 @@ def reconstruct_unit(
             0, cfg.iters, body, (train0, opt_state, key))
         return train
 
-    train_final = run(train0, cached_inps, cached_out, cached_grads, rng)
+    train_final = run(train0, sub_params, sub_qstate, cached_inps,
+                      cached_out, cached_grads, rng)
     return merge_trainable(qstate, train_final, mode)
