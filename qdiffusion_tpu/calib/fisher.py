@@ -67,7 +67,7 @@ def save_grad_data(
 
         def kl_of(sub):
             ctx = QuantCtx(q, mode=QuantMode.off(),
-                           substitute={unit_name: sub})
+                           substitute={unit_name: sub}, differentiable=True)
             if c is None:
                 out_q = model.apply(p, x, t, ctx)
             else:

@@ -227,7 +227,7 @@ def reconstruct_unit(
     def loss_fn(train, sub_p, sub_q, b_x, b_t_aux, b_out, b_grad, b_temp,
                 count):
         q = merge_trainable(sub_q, train, mode)
-        ctx = QuantCtx(q, mode=fwd_mode)
+        ctx = QuantCtx(q, mode=fwd_mode, differentiable=True)
         inps = (b_x,) if b_t_aux is None else (b_x, b_t_aux)
         pred = unit.apply(sub_p, ctx, *inps)
         if cfg.opt_mode != "mse":

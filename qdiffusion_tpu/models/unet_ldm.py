@@ -141,8 +141,10 @@ class LDMUNet(QuantModelBase):
         both fp and quantized inference (scripts/bench_attention.py);
         0 disables. Gating on the key length keeps 77-token
         cross-attention contexts on the cheap materializing path.
-        Calibration-time passes (collect / capture) always materialize,
-        because block reconstruction caches the matmul operands; the int8
+        Calibration-time passes (collect / capture / substitute /
+        differentiable reconstruction forwards) always materialize —
+        block reconstruction caches the matmul operands and differentiates
+        through the block, and the Pallas kernel defines no VJP; the int8
         engine keeps its integer matmul path."""
         super().__init__()
         self.cfg = config
@@ -157,6 +159,7 @@ class LDMUNet(QuantModelBase):
     def _use_blockwise(self, ctx: QuantCtx, key_len: int) -> bool:
         return (self.flash_threshold > 0 and key_len >= self.flash_threshold
                 and ctx.collect is None and ctx.capture is None
+                and not ctx.substitute and not ctx.differentiable
                 and ctx.engine != "int8")
 
     # ------------------------------------------------------------------

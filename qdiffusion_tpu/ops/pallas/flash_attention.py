@@ -136,32 +136,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
-                    sm_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
-                    v_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
-                    tile_q: Optional[int] = None,
-                    interpret: bool = False) -> Array:
-    """q: (B, T, H, D); k, v: (B, S, H, D) -> (B, T, H, D).
+def _flash_core(scalars: Array, q: Array, k: Array, v: Array, *,
+                scale: float, sm_cfg, tile_q: int, interpret: bool) -> Array:
+    """Per-shard body: (B, T, H, D)/(B, S, H, D) -> (B, T, H, D).
 
-    Matches ops/attention.py::materializing_attention / blockwise_attention
-    (same static-delta quantization of normalized probabilities and V).
-    tile_q None = auto (largest tile that fits VMEM, _pick_tile_q)."""
+    Shapes here are LOCAL (post-partitioning): under a sharded jit the
+    custom-partitioning wrapper below runs this on each device's B/H
+    shard, so the flatten/pad/grid all see per-device sizes."""
     B, T, H, D = q.shape
     S = k.shape[1]
     in_dtype = q.dtype
-    if tile_q is None:
-        tile_q = _pick_tile_q(_round_up(S, 128), _round_up(D, 128),
-                              in_dtype.itemsize) or 128
 
     def to_bhd(x, L):
-        x = jnp.moveaxis(x, 2, 1).reshape(B * H, L, x.shape[-1])
-        return x
-
-    if v_q is not None:
-        # hoisted V quantization: one fused XLA fake_quant over (B, S, H, D)
-        # instead of a per-q-tile in-kernel epilogue (see _kernel docstring)
-        v_st, v_spec = v_q
-        v = fake_quant(v, v_st["delta"], v_st["zero_point"], v_spec)
+        return jnp.moveaxis(x, 2, 1).reshape(B * H, L, x.shape[-1])
 
     qf = to_bhd(q, T)
     kf = to_bhd(k, S)
@@ -173,18 +160,6 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
     qf = jnp.pad(qf, ((0, 0), (0, Tp - T), (0, Dp - D)))
     kf = jnp.pad(kf, ((0, 0), (0, Sp - S), (0, Dp - D)))
     vf = jnp.pad(vf, ((0, 0), (0, Sp - S), (0, Dp - D)))
-
-    def st_scalars(pair):
-        # keep as traced jnp scalars: qstate arrives as jit arguments
-        if pair is None:
-            return jnp.float32(0), jnp.float32(0), None
-        st, spec = pair
-        return (jnp.asarray(st["delta"], jnp.float32).reshape(()),
-                jnp.asarray(st["zero_point"], jnp.float32).reshape(()),
-                (spec.n_levels, spec.symmetric, spec.always_zero))
-
-    sm_d, sm_z, sm_cfg = st_scalars(sm_q)
-    scalars = jnp.stack([sm_d, sm_z]).reshape(1, 2)
 
     kern = functools.partial(
         _kernel, scale=scale, s_valid=S, sm_cfg=sm_cfg,
@@ -209,6 +184,90 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
     )(scalars, qf, kf, vf)
     out = out[:, :T, :D].reshape(B, H, T, D)
     return jnp.moveaxis(out, 1, 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_flash(scale: float, sm_cfg, tile_q: int, interpret: bool):
+    """custom_partitioning wrapper: the kernel is independent per (batch,
+    head), so under a sharded jit GSPMD may split the custom call on B
+    (data parallelism) and H (megatron-style tensor parallelism) instead
+    of all-gathering the full batch onto every device (the default for
+    custom calls — measured 12 all-gathers and fully replicated attention
+    compute on an 8-way DP mesh without this). T/S/D stay replicated:
+    each program needs every key/value row."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def impl(scalars, q, k, v):
+        return _flash_core(scalars, q, k, v, scale=scale, sm_cfg=sm_cfg,
+                           tile_q=tile_q, interpret=interpret)
+
+    def bh_only(sharding, mesh):
+        # keep B (dim 0) and H (dim 2) axes; replicate T/S (dim 1), D (3)
+        spec = getattr(sharding, "spec", None)
+        if spec is None:
+            return NamedSharding(mesh, PartitionSpec())
+        b = spec[0] if len(spec) > 0 else None
+        h = spec[2] if len(spec) > 2 else None
+        return NamedSharding(mesh, PartitionSpec(b, None, h, None))
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return bh_only(arg_shapes[1].sharding, mesh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        qkv = bh_only(arg_shapes[1].sharding, mesh)
+        repl = NamedSharding(mesh, PartitionSpec(None, None))
+        return mesh, impl, qkv, (repl, qkv, qkv, qkv)
+
+    fcp = custom_partitioning(impl)
+    fcp.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule="m n, b t h d, b s h d, b s h d -> b t h d",
+        # ordered by first appearance in the rule (Shardy requires sorted
+        # special-factor indices)
+        need_replication_factors=("m", "n", "t", "d", "s"))
+    return fcp
+
+
+def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
+                    sm_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
+                    v_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
+                    tile_q: Optional[int] = None,
+                    interpret: bool = False) -> Array:
+    """q: (B, T, H, D); k, v: (B, S, H, D) -> (B, T, H, D).
+
+    Matches ops/attention.py::materializing_attention / blockwise_attention
+    (same static-delta quantization of normalized probabilities and V).
+    tile_q None = auto (largest tile that fits VMEM, _pick_tile_q).
+    Partition-aware: shardable on batch and heads (see _partitioned_flash)."""
+    S = k.shape[1]
+    D = q.shape[-1]
+    in_dtype = q.dtype
+    if tile_q is None:
+        tile_q = _pick_tile_q(_round_up(S, 128), _round_up(D, 128),
+                              in_dtype.itemsize) or 128
+
+    if v_q is not None:
+        # hoisted V quantization: one fused XLA fake_quant over (B, S, H, D)
+        # instead of a per-q-tile in-kernel epilogue (see _kernel docstring)
+        v_st, v_spec = v_q
+        v = fake_quant(v, v_st["delta"], v_st["zero_point"], v_spec)
+
+    def st_scalars(pair):
+        # keep as traced jnp scalars: qstate arrives as jit arguments
+        if pair is None:
+            return jnp.float32(0), jnp.float32(0), None
+        st, spec = pair
+        return (jnp.asarray(st["delta"], jnp.float32).reshape(()),
+                jnp.asarray(st["zero_point"], jnp.float32).reshape(()),
+                (spec.n_levels, spec.symmetric, spec.always_zero))
+
+    sm_d, sm_z, sm_cfg = st_scalars(sm_q)
+    scalars = jnp.stack([sm_d, sm_z]).reshape(1, 2)
+
+    fn = _partitioned_flash(scale, sm_cfg, tile_q, interpret)
+    return fn(scalars, q, k, v)
 
 
 def flash_supported(q_shape, k_shape) -> bool:

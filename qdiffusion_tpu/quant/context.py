@@ -59,7 +59,8 @@ class QuantCtx:
     def __init__(self, qstate: Optional[dict] = None, mode: QuantMode = QuantMode.off(),
                  collect: Optional[str] = None, capture: Optional[str] = None,
                  engine: str = "sim", packed: Optional[dict] = None,
-                 substitute: Optional[dict] = None):
+                 substitute: Optional[dict] = None,
+                 differentiable: bool = False):
         self.qstate: dict = qstate or {}
         self.mode = mode
         self.collect = collect
@@ -78,6 +79,12 @@ class QuantCtx:
         # to simulation.
         self.engine = engine
         self.packed: dict = packed or {}
+        # differentiable=True: this forward sits under jax.grad (block/act
+        # reconstruction, Fisher capture) — models must keep to
+        # differentiable ops (the Pallas flash-attention kernel defines no
+        # VJP, so attention stays on the materializing path, matching the
+        # reference's calibration-time semantics anyway).
+        self.differentiable = differentiable
 
     # -- state access ------------------------------------------------------
 

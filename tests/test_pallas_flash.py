@@ -105,3 +105,67 @@ def test_auto_tile_matches_fixed_tile():
     b = flash_attention(q, k, v, scale=0.25, interpret=INTERP)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_partitioned_no_allgather():
+    """Under a sharded jit the kernel must split on batch/heads, not
+    all-gather the full batch onto every device (custom_partitioning;
+    without it the custom call replicates attention compute mesh-wide)."""
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    q, k, v = _qkv(B=8, T=64, S=64, H=2, D=16, seed=5)
+    sm_spec = AffineQuantizerSpec(n_bits=8, scale_method="max",
+                                  leaf_param=True, always_zero=True)
+    sm_st = {"delta": jnp.float32(1 / 255.0), "zero_point": jnp.float32(0.0)}
+
+    # DP: batch axis sharded 8-way
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    data = NamedSharding(mesh, P("data"))
+    fn = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, scale=0.25, sm_q=(sm_st, sm_spec), interpret=INTERP),
+        in_shardings=(data, data, data), out_shardings=data)
+    hlo = fn.lower(q, k, v).compile().as_text()
+    assert len(re.findall(r"all-gather", hlo)) == 0
+    got = fn(jax.device_put(q, data), jax.device_put(k, data),
+             jax.device_put(v, data))
+    ref = materializing_attention(q, k, v, scale=0.25,
+                                  sm_q=(sm_st, sm_spec))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # TP: heads sharded over a model axis (megatron-style)
+    mesh2 = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    dsh = NamedSharding(mesh2, P("data", None, "model", None))
+    fn2 = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, scale=0.25, interpret=INTERP),
+        in_shardings=(dsh, dsh, dsh), out_shardings=dsh)
+    hlo2 = fn2.lower(q, k, v).compile().as_text()
+    assert len(re.findall(r"all-gather", hlo2)) == 0
+    got2 = fn2(jax.device_put(q, dsh), jax.device_put(k, dsh),
+               jax.device_put(v, dsh))
+    ref2 = materializing_attention(q, k, v, scale=0.25)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_differentiable_ctx_keeps_materializing():
+    """Reconstruction/Fisher forwards differentiate through attention; the
+    Pallas kernel has no VJP, so differentiable contexts must not take the
+    flash path."""
+    from qdiffusion_tpu.models.unet_ldm import LDMUNet, LDMUNetConfig
+    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+
+    m = LDMUNet(LDMUNetConfig(
+        image_size=8, in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(1,), channel_mult=(1,),
+        num_heads=4), flash_threshold=16)
+    infer = QuantCtx(None, mode=QuantMode.off())
+    diff = QuantCtx(None, mode=QuantMode.off(), differentiable=True)
+    assert m._use_blockwise(infer, 64)
+    assert not m._use_blockwise(diff, 64)
+    sub = QuantCtx(None, mode=QuantMode.off(), substitute={"x": 1})
+    assert not m._use_blockwise(sub, 64)
