@@ -61,6 +61,16 @@ def blockwise_attention(q: Array, k: Array, v: Array, *, scale: float,
 
         if flash_supported(q.shape, k.shape):
             return flash_attention(q, k, v, scale=scale, sm_q=sm_q, v_q=v_q)
+
+        from qdiffusion_tpu.ops.pallas.flash_streaming import (
+            streaming_flash_attention, streaming_supported)
+
+        if streaming_supported(q.shape, k.shape):
+            # beyond the resident-K/V VMEM budget (16k+ keys): stream K/V
+            # blocks through a two-pass Pallas kernel, same exact math as
+            # the lax.scan fallback below but with fused epilogues
+            return streaming_flash_attention(q, k, v, scale=scale,
+                                             sm_q=sm_q, v_q=v_q)
     B, T, H, D = q.shape
     S = k.shape[1]
     bs = min(block_size, S)
