@@ -62,6 +62,16 @@ def capture_unit_io(
     asym_cap = jax.jit(partial(fwd, mode=q_mode, want_out=False)) if asym else None
 
     n = cali_xs.shape[0]
+    if n % batch_size:
+        # matches the reference's integer-batch loop (qdiff/utils.py:
+        # get_train_samples consumers iterate whole batches), but never
+        # silently: the tail samples do not enter the calibration cache.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "capture_unit_io: dropping tail batch of %d sample(s) "
+            "(n=%d not divisible by batch_size=%d)",
+            n % batch_size, n, batch_size)
     inps_acc, out_acc = None, []
     for i in range(0, n - batch_size + 1, batch_size):
         x = cali_xs[i : i + batch_size]

@@ -27,6 +27,27 @@ import numpy as np
 logger = logging.getLogger("qdiffusion_tpu.cli")
 
 
+def resolve_task(args):
+    """--task NAME (preset) or --config PATH (reference YAML, optionally
+    renamed by --task). Replaces the reference's per-script OmegaConf load
+    (sample_diffusion_ldm.py:Sample `--config`, txt2img.py:load_model_from_config)."""
+    from qdiffusion_tpu.config import PRESETS
+
+    config = getattr(args, "config", None)
+    if config:
+        from qdiffusion_tpu.config_yaml import load_task_config
+
+        return load_task_config(config, name=getattr(args, "task", None))
+    if not getattr(args, "task", None):
+        raise SystemExit("one of --task or --config is required")
+    try:
+        return PRESETS[args.task]
+    except KeyError:
+        raise SystemExit(
+            f"unknown task {args.task!r} (presets: {sorted(PRESETS)}; "
+            f"or pass a reference YAML via --config)")
+
+
 def build_model_and_pipeline(task, qflags=None, act_quant=False):
     import jax.numpy as jnp
 
@@ -182,7 +203,7 @@ def cmd_make_cali_data(args):
     from qdiffusion_tpu.config import PRESETS
     from qdiffusion_tpu.utils.run_logging import setup_run_dir
 
-    task = PRESETS[args.task]
+    task = resolve_task(args)
     model, pipe = build_model_and_pipeline(task)
     params = (load_fp_params(args.ckpt, task, model) if args.ckpt
               else model.init_params(jax.random.PRNGKey(0)))
@@ -231,8 +252,8 @@ def cmd_calibrate(args):
         cali_batch_size=args.cali_batch_size, cali_iters=args.cali_iters,
         cali_iters_a=args.cali_iters_a, cali_lr=args.cali_lr,
         cali_p=args.cali_p)
-    task = PRESETS[args.task]
-    run_dir = setup_run_dir(args.logdir, f"calib-{args.task}")
+    task = resolve_task(args)
+    run_dir = setup_run_dir(args.logdir, f"calib-{task.name}")
     dump_config(run_dir, {"task": task, "quant": qflags, "argv": sys.argv})
 
     model, pipe = build_model_and_pipeline(task, qflags, args.quant_act)
@@ -272,7 +293,7 @@ def cmd_convert(args):
     from qdiffusion_tpu.config import PRESETS
     from qdiffusion_tpu.utils.checkpoints import save_pytree
 
-    task = PRESETS[args.task]
+    task = resolve_task(args)
     model, _ = build_model_and_pipeline(task)
     params = load_fp_params(args.ckpt, task, model)
     # validate tree structure against the model before persisting
@@ -290,7 +311,7 @@ def cmd_import_qstate(args):
     from qdiffusion_tpu.quant.torch_interop import import_reference_checkpoint
     from qdiffusion_tpu.utils.checkpoints import save_qstate, save_pytree
 
-    task = PRESETS[args.task]
+    task = resolve_task(args)
     qflags = QuantFlags(weight_bit=args.weight_bit, quant_act=args.quant_act,
                         act_bit=args.act_bit, a_sym=args.a_sym,
                         sm_abit=args.sm_abit, split=args.split)
@@ -358,7 +379,7 @@ def cmd_sample(args):
     from qdiffusion_tpu.config import PRESETS
     from qdiffusion_tpu.utils.run_logging import Throughput, save_images_png
 
-    task = PRESETS[args.task]
+    task = resolve_task(args)
     model, pipe, params, qstate, mode, model_fn = build_engine(args, task)
 
     cond, uncond = build_conditioning(args, task, pipe) \
@@ -476,7 +497,7 @@ def cmd_serve(args):
     from qdiffusion_tpu.serving import (
         DiffusionServer, Request, ServerConfig, make_generate_fn, serve_http)
 
-    task = PRESETS[args.task]
+    task = resolve_task(args)
     model, pipe, params, qstate, mode, model_fn = build_engine(args, task)
     vae_params = load_vae_params(args, task) if task.family != "pixel" \
         else None
@@ -516,7 +537,7 @@ def cmd_serve(args):
             server.generate(Request(n=b, seed=0))
         logger.info("warmup done: %s", server.stats())
     httpd = serve_http(server, host=args.host, port=args.port)
-    print(f"serving {args.task} (engine={args.engine}) on "
+    print(f"serving {task.name} (engine={args.engine}) on "
           f"http://{httpd.server_address[0]}:{httpd.server_address[1]}",
           flush=True)
     try:
@@ -547,12 +568,17 @@ def load_vae_params(args, task):
 def cmd_fid(args):
     """Score two sample sets (PNG dirs or bulk npz dumps) with the native
     FID-Inception extractor (reference protocol: 50k samples,
-    torch-fidelity; README.md:103)."""
+    torch-fidelity; README.md:103). The second side can be precomputed
+    statistics (--ref-stats, a mu/sigma npz — the standard way to score
+    against a 50k reference set without re-extracting it every run);
+    --save-stats persists set1's statistics for later reuse."""
     import json
 
     from qdiffusion_tpu.metrics.fid import (
-        InceptionExtractor, fid_from_features)
+        InceptionExtractor, compute_statistics, frechet_distance)
 
+    if bool(args.set2) == bool(args.ref_stats):
+        raise SystemExit("pass exactly one of --set2 or --ref-stats")
     extractor = InceptionExtractor(args.inception, batch_size=args.batch)
 
     def load_set(path):
@@ -568,9 +594,18 @@ def cmd_fid(args):
         return np.stack([np.asarray(Image.open(f)) for f in files])
 
     f1 = extractor(load_set(args.set1))
-    f2 = extractor(load_set(args.set2))
-    fid = fid_from_features(f1, f2)
-    print(json.dumps({"fid": round(fid, 4), "n1": len(f1), "n2": len(f2)}))
+    mu1, s1 = compute_statistics(f1)
+    if args.save_stats:
+        np.savez(args.save_stats, mu=mu1, sigma=s1, n=len(f1))
+    if args.ref_stats:
+        ref = np.load(args.ref_stats)
+        mu2, s2, n2 = ref["mu"], ref["sigma"], int(ref.get("n", 0))
+    else:
+        f2 = extractor(load_set(args.set2))
+        mu2, s2 = compute_statistics(f2)
+        n2 = len(f2)
+    fid = frechet_distance(mu1, s1, mu2, s2)
+    print(json.dumps({"fid": round(fid, 4), "n1": len(f1), "n2": n2}))
 
 
 def main(argv=None):
@@ -610,7 +645,8 @@ def main(argv=None):
                         help="CFG guidance scale (default: task preset)")
 
     sp = sub.add_parser("make-cali-data")
-    sp.add_argument("--task", required=True)
+    sp.add_argument("--task")
+    sp.add_argument("--config", metavar="YAML", help="reference-format model YAML (alternative to --task)")
     sp.add_argument("--ckpt")
     sp.add_argument("--n", type=int, default=256)
     sp.add_argument("--timesteps", type=int)
@@ -620,7 +656,8 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_make_cali_data)
 
     sp = sub.add_parser("calibrate")
-    sp.add_argument("--task", required=True)
+    sp.add_argument("--task")
+    sp.add_argument("--config", metavar="YAML", help="reference-format model YAML (alternative to --task)")
     sp.add_argument("--ckpt")
     sp.add_argument("--cali-data", required=True)
     sp.add_argument("--resume-w", help="weight-pass qstate to resume from")
@@ -637,21 +674,27 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_calibrate)
 
     sp = sub.add_parser("convert")
-    sp.add_argument("--task", required=True)
+    sp.add_argument("--task")
+    sp.add_argument("--config", metavar="YAML", help="reference-format model YAML (alternative to --task)")
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_convert)
 
     sp = sub.add_parser("fid")
     sp.add_argument("--set1", required=True, help="PNG dir or samples npz")
-    sp.add_argument("--set2", required=True, help="PNG dir or samples npz")
+    sp.add_argument("--set2", help="PNG dir or samples npz")
+    sp.add_argument("--ref-stats", metavar="NPZ",
+                    help="precomputed mu/sigma statistics instead of --set2")
+    sp.add_argument("--save-stats", metavar="NPZ",
+                    help="persist set1 statistics (mu/sigma) for reuse")
     sp.add_argument("--inception", required=True,
                     help="pt_inception checkpoint path (external artifact)")
     sp.add_argument("--batch", type=int, default=64)
     sp.set_defaults(fn=cmd_fid)
 
     sp = sub.add_parser("import-qstate")
-    sp.add_argument("--task", required=True)
+    sp.add_argument("--task")
+    sp.add_argument("--config", metavar="YAML", help="reference-format model YAML (alternative to --task)")
     sp.add_argument("--ckpt", required=True,
                     help="calibrated reference ckpt (QuantModel.state_dict)")
     sp.add_argument("--out", required=True, help="qstate npz output")
@@ -661,7 +704,8 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_import_qstate)
 
     sp = sub.add_parser("sample")
-    sp.add_argument("--task", required=True)
+    sp.add_argument("--task")
+    sp.add_argument("--config", metavar="YAML", help="reference-format model YAML (alternative to --task)")
     sp.add_argument("--ckpt")
     sp.add_argument("--vae-ckpt")
     sp.add_argument("--qstate")
@@ -690,7 +734,8 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_sample)
 
     sp = sub.add_parser("serve", help="microbatching HTTP serving daemon")
-    sp.add_argument("--task", required=True)
+    sp.add_argument("--task")
+    sp.add_argument("--config", metavar="YAML", help="reference-format model YAML (alternative to --task)")
     sp.add_argument("--ckpt")
     sp.add_argument("--vae-ckpt")
     sp.add_argument("--qstate")

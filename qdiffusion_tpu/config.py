@@ -110,6 +110,13 @@ class TaskConfig:
     vae: Optional[VAEConfig] = None
     conditioning_key: Optional[str] = None
     clip: Optional["CLIPTextConfig"] = None  # text tower ('sd' family)
+    # scale_by_std checkpoints (ddpm.py:460-493) carry the latent std in the
+    # ckpt (scale_factor buffer); scale_factor above is then a placeholder
+    # until load_fp_params reads it.
+    scale_by_std: bool = False
+    # full cond-stage description from YAML ingestion (config_yaml.py);
+    # presets keep using `clip` directly.
+    cond_stage: Optional[object] = None
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +173,8 @@ SD_V1 = TaskConfig(
                            attention_resolutions=(4, 2, 1),
                            num_res_blocks=2, channel_mult=(1, 2, 4, 4),
                            num_heads=8, use_spatial_transformer=True,
-                           transformer_depth=1, context_dim=768),
+                           transformer_depth=1, context_dim=768,
+                           legacy=False),
     vae=VAEConfig(ch=128, out_ch=3, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
                   attn_resolutions=(), in_channels=3, resolution=256,
                   z_channels=4, double_z=True, embed_dim=4),

@@ -59,7 +59,7 @@ def blockwise_attention(q: Array, k: Array, v: Array, *, scale: float,
         from qdiffusion_tpu.ops.pallas.flash_attention import (
             flash_attention, flash_supported)
 
-        if flash_supported(q.shape, k.shape):
+        if flash_supported(q.shape, k.shape, q.dtype.itemsize):
             return flash_attention(q, k, v, scale=scale, sm_q=sm_q, v_q=v_q)
 
         from qdiffusion_tpu.ops.pallas.flash_streaming import (

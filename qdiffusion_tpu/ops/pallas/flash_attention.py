@@ -246,7 +246,15 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
     in_dtype = q.dtype
     if tile_q is None:
         tile_q = _pick_tile_q(_round_up(S, 128), _round_up(D, 128),
-                              in_dtype.itemsize) or 128
+                              in_dtype.itemsize)
+        if tile_q is None:
+            # no silent 128-tile fallback: a tile that doesn't fit the
+            # scoped-VMEM cost model fails in Mosaic, not here — callers
+            # must gate with flash_supported(q.shape, k.shape, itemsize)
+            # (same cost model) and stream instead.
+            raise ValueError(
+                f"flash_attention: no q-tile fits VMEM for S={S}, D={D}, "
+                f"dtype={in_dtype}; use the streaming/blockwise path")
 
     if v_q is not None:
         # hoisted V quantization: one fused XLA fake_quant over (B, S, H, D)
@@ -270,10 +278,14 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
     return fn(scalars, q, k, v)
 
 
-def flash_supported(q_shape, k_shape) -> bool:
-    """Can some q-tile size fit the per-program VMEM budget on TPU?"""
+def flash_supported(q_shape, k_shape, itemsize: int = 2) -> bool:
+    """Can some q-tile size fit the per-program VMEM budget on TPU?
+
+    `itemsize` must be the actual q/k/v dtype itemsize — the resident K/V
+    footprint doubles for f32 inputs (fp32 sim engine), so gating with the
+    bf16 cost model would admit shapes whose kernel then fails in Mosaic."""
     if jax.default_backend() != "tpu":
         return False
     S = _round_up(k_shape[1], 128)
     Dp = _round_up(q_shape[-1], 128)
-    return _pick_tile_q(S, Dp, 2) is not None
+    return _pick_tile_q(S, Dp, itemsize) is not None

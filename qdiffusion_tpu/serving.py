@@ -119,10 +119,14 @@ class DiffusionServer:
         cond = None
         if self.encode_cond is not None:
             cond = self.encode_cond(req)  # may be None for uncond tasks
-        cond_key = (() if cond is None
-                    else tuple(np.asarray(cond).shape) + (
-                        "" if req.guidance_scale is None
-                        else float(req.guidance_scale),))
+        # guidance_scale is part of the key even when cond is None: scale is
+        # unused by uncond engines today, but coalescing different-scale
+        # requests into one batch (executed with batch[0].scale) would be a
+        # silent correctness trap the day an uncond engine consumes it.
+        scale_key = ("" if req.guidance_scale is None
+                     else float(req.guidance_scale),)
+        cond_key = ((() if cond is None else tuple(np.asarray(cond).shape))
+                    + scale_key)
         fut: Future = Future()
         results = [None] * req.n
         pending = [req.n]

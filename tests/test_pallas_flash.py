@@ -96,6 +96,21 @@ def test_supported_gate():
     # (the XLA blockwise path streams those)
     assert not flash_supported((2, 16384, 8, 40), (2, 16384, 8, 40))
     assert not flash_supported((1, 128, 1, 64), (1, 65536, 1, 64))
+    # f32 inputs double the resident K/V footprint: 8k keys fit at bf16
+    # but not at itemsize=4 — the gate must use the real dtype itemsize
+    # (fp32 sim engine would otherwise pass the gate and fail in Mosaic)
+    assert not flash_supported((2, 8192, 8, 40), (2, 8192, 8, 40), 4)
+
+
+def test_no_silent_tile_fallback():
+    """A shape no q-tile fits must raise, not compile a 128-tile kernel
+    that blows the scoped-VMEM limit inside Mosaic."""
+    import pytest
+
+    q = jnp.zeros((1, 16384, 1, 40), jnp.bfloat16)
+    k = jnp.zeros((1, 16384, 1, 40), jnp.bfloat16)
+    with pytest.raises(ValueError, match="no q-tile fits"):
+        flash_attention(q, k, q, scale=1.0, interpret=True)
 
 
 def test_auto_tile_matches_fixed_tile():
