@@ -14,15 +14,31 @@ already hard-AdaRounded), the output stays full-precision.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
-from typing import Optional
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
 
 Array = jnp.ndarray
+
+logger = logging.getLogger(__name__)
+
+
+def _batch_starts(n: int, batch_size: int) -> range:
+    if n % batch_size:
+        # matches the reference's integer-batch loop (qdiff/utils.py:
+        # get_train_samples consumers iterate whole batches), but never
+        # silently: the tail samples do not enter the calibration cache.
+        logger.warning(
+            "capture: dropping tail batch of %d sample(s) "
+            "(n=%d not divisible by batch_size=%d)",
+            n % batch_size, n, batch_size)
+    return range(0, n - batch_size + 1, batch_size)
 
 
 def capture_unit_io(
@@ -62,18 +78,8 @@ def capture_unit_io(
     asym_cap = jax.jit(partial(fwd, mode=q_mode, want_out=False)) if asym else None
 
     n = cali_xs.shape[0]
-    if n % batch_size:
-        # matches the reference's integer-batch loop (qdiff/utils.py:
-        # get_train_samples consumers iterate whole batches), but never
-        # silently: the tail samples do not enter the calibration cache.
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "capture_unit_io: dropping tail batch of %d sample(s) "
-            "(n=%d not divisible by batch_size=%d)",
-            n % batch_size, n, batch_size)
     inps_acc, out_acc = None, []
-    for i in range(0, n - batch_size + 1, batch_size):
+    for i in _batch_starts(n, batch_size):
         x = cali_xs[i : i + batch_size]
         t = cali_ts[i : i + batch_size]
         c = cali_cs[i : i + batch_size] if cali_cs is not None else None
@@ -88,3 +94,150 @@ def capture_unit_io(
     inps = tuple(jnp.concatenate(acc, axis=0) for acc in inps_acc)
     out = jnp.concatenate(out_acc, axis=0)
     return inps, out
+
+
+class GroupedCapture:
+    """Shape-shared capture programs over groups of consecutive units.
+
+    The per-unit capture above compiles a structurally distinct truncated
+    forward for EVERY unit (twice with asym) — at 38 CIFAR units that is
+    ~76 remote compiles and the dominant cold-calibration cost (~25 min on
+    the axon tunnel; docs/E2E_RUN.md). Grouping G consecutive units into
+    one program cuts compiles to ceil(N/G) per mode and FP sweeps to one
+    per group, while preserving the reference capture semantics exactly
+    (qdiff/utils.py:18-149):
+
+      * FP (inp, out) for a whole group comes from ONE sweep of the
+        calibration set (mode off never reads qstate, so one trace serves
+        both the weight and activation passes).
+      * asym inputs (utils.py:235-243 — prefix weight-quantized with
+        already-reconstructed units hard-rounded) still require per-unit
+        sweeps, because unit j's input depends on the recon of units < j.
+        The group program is REUSED for every unit in the group: qstate is
+        a jit argument, so re-running it after each recon yields unit
+        j's input with the correct prefix — zero recompiles.
+
+    Group size is planned by bytes: a group's full-set captures live on
+    device while its units reconstruct, so consecutive units are packed
+    until the estimated footprint (jax.eval_shape, no compute) exceeds
+    `group_bytes`.
+    """
+
+    def __init__(self, model, batch_size: int = 8,
+                 group_bytes: int = 3 << 30):
+        self.model = model
+        self.batch_size = batch_size
+        self.group_bytes = group_bytes
+        self._fp_jit = {}
+        self._q_jit = {}
+
+    # ------------------------------------------------------------- internals
+
+    def _fwd(self, p, q, x, t, c, *, names, mode, want_out):
+        ctx = QuantCtx(q, mode=mode, capture=frozenset(names))
+        if c is None:
+            self.model.apply(p, x, t, ctx)
+        else:
+            self.model.apply(p, x, t, ctx, context=c)
+        res = {}
+        for n in names:
+            cap = ctx.captured[n]
+            inp = cap["inp"] if isinstance(cap["inp"], tuple) else (cap["inp"],)
+            res[n] = (inp, cap["out"]) if want_out else inp
+        return res
+
+    def _make_sweep(self, names: Tuple[str, ...], mode, want_out: bool):
+        """Whole-sweep program: the host batch loop becomes an on-device
+        lax.scan, so a full calibration-set capture is ONE dispatch (the
+        per-batch host loop cost 30+ round-trips per sweep through the
+        remote tunnel — measured dominating the grouped capture)."""
+
+        def sweep(p, q, x, t, c):
+            def body(_, batch):
+                xb, tb = batch[0], batch[1]
+                cb = batch[2] if len(batch) > 2 else None
+                return None, self._fwd(p, q, xb, tb, cb, names=names,
+                                       mode=mode, want_out=want_out)
+
+            seq = (x, t) if c is None else (x, t, c)
+            _, stacked = jax.lax.scan(body, None, seq)
+            # (nb, b, ...) -> (nb*b, ...): metadata-only inside the program
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), stacked)
+
+        return jax.jit(sweep)
+
+    def _get_fp(self, names: Tuple[str, ...]):
+        if names not in self._fp_jit:
+            self._fp_jit[names] = self._make_sweep(
+                names, QuantMode.off(), True)
+        return self._fp_jit[names]
+
+    def _get_q(self, names: Tuple[str, ...], act_quant: bool):
+        key = (names, act_quant)
+        if key not in self._q_jit:
+            self._q_jit[key] = self._make_sweep(
+                names, QuantMode(w=True, a=act_quant, soft=False), False)
+        return self._q_jit[key]
+
+    def _batched(self, xs, ts, cs):
+        """(n, ...) -> (nb, b, ...) whole-batch stacks (tail dropped with
+        a warning, reference integer-batch semantics)."""
+        b = self.batch_size
+        nb = len(_batch_starts(xs.shape[0], b))
+        cut = nb * b
+
+        def shape(a):
+            return a[:cut].reshape(nb, b, *a.shape[1:])
+
+        return (shape(xs), shape(ts),
+                shape(cs) if cs is not None else None)
+
+    # ------------------------------------------------------------------- API
+
+    def plan(self, unit_names: Sequence[str], params, xs, ts,
+             cs=None) -> List[Tuple[str, ...]]:
+        """Greedy consecutive grouping by estimated full-set capture bytes
+        (one jax.eval_shape over an all-units capture — no compute)."""
+        b = self.batch_size
+        n_batches = max(1, xs.shape[0] // b)
+        shapes = jax.eval_shape(
+            partial(self._fwd, names=tuple(unit_names),
+                    mode=QuantMode.off(), want_out=True),
+            params, {}, xs[:b], ts[:b],
+            cs[:b] if cs is not None else None)
+        groups: List[Tuple[str, ...]] = []
+        cur: List[str] = []
+        cur_bytes = 0
+        for n in unit_names:
+            inp, out = shapes[n]
+            nb = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                     for a in (*inp, out)) * n_batches
+            if cur and cur_bytes + nb > self.group_bytes:
+                groups.append(tuple(cur))
+                cur, cur_bytes = [], 0
+            cur.append(n)
+            cur_bytes += nb
+        if cur:
+            groups.append(tuple(cur))
+        logger.info("capture plan: %d unit(s) in %d group(s)",
+                    len(unit_names), len(groups))
+        return groups
+
+    def fp_capture(self, params, group: Tuple[str, ...], xs, ts, cs=None):
+        """ONE dispatch capturing FP (inps, out) for every unit in `group`
+        over the whole calibration set: {name: (inps_tuple, out)}."""
+        x, t, c = self._batched(xs, ts, cs)
+        return self._get_fp(group)(params, {}, x, t, c)
+
+    def quant_capture(self, params, qstate, group: Tuple[str, ...],
+                      name: str, xs, ts, cs=None, *,
+                      act_quant: bool = False):
+        """ONE dispatch with the quantized prefix (current qstate),
+        returning `name`'s inputs — the group program is reused for every
+        unit in the group (qstate is an argument), so re-running it after
+        each unit's recon yields the next unit's asym input with zero
+        recompiles. The other units' capture buffers are dropped on
+        return."""
+        x, t, c = self._batched(xs, ts, cs)
+        return self._get_q(group, act_quant)(params, qstate, x, t, c)[name]

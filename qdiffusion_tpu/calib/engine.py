@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from qdiffusion_tpu.calib.capture import capture_unit_io
+from qdiffusion_tpu.calib.capture import GroupedCapture, capture_unit_io
 from qdiffusion_tpu.calib.recon import ReconConfig, reconstruct_unit
 from qdiffusion_tpu.ops.qlayers import split_weight
 from qdiffusion_tpu.quant.affine import init_state
@@ -47,6 +47,12 @@ class CalibConfig:
     act_init_batch: int = 64
     sm_abit: int = 8
     skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
+    # Grouped capture (calib/capture.py::GroupedCapture): shape-shared
+    # capture programs over unit groups — ceil(N/G) compiles per mode
+    # instead of 2N (the round-2 cold-calibration wall). Groups are packed
+    # by estimated on-device capture bytes (full calibration set).
+    grouped_capture: bool = True
+    capture_group_bytes: int = 3 << 30
     pipeline: bool = False  # overlap unit N+1 trace/compile with unit N's
     # device execution (JAX async dispatch). The math is identical — the
     # asym capture of unit N+1 depends on unit N's reconstructed qstate
@@ -169,37 +175,70 @@ def calibrate(
         logger.info("weight quantizer scales initialized (%d layers)",
                     len(qstate))
 
-    # ---- weight rounding pass -------------------------------------------
-    for k, unit in enumerate(model.units):
-        if start_phase != "weight" or k < start_idx:
-            continue
-        if unit.name in cfg.skip_units or not unit.layer_names:
-            logger.info("skip reconstruction of %s", unit.name)
-            continue
-        t0 = time.time()
-        inps, out = capture_unit_io(
-            model, params, qstate, unit.name, cali_xs, cali_ts, cali_cs,
-            asym=cfg.asym, act_quant=False, batch_size=cfg.capture_batch)
-        grads = None
-        if cfg.weight.opt_mode != "mse":
-            from qdiffusion_tpu.calib.fisher import save_grad_data
+    gc = (GroupedCapture(model, batch_size=cfg.capture_batch,
+                         group_bytes=cfg.capture_group_bytes)
+          if cfg.grouped_capture else None)
+    unit_by_name = {u.name: (k, u) for k, u in enumerate(model.units)}
 
-            grads = save_grad_data(model, params, qstate, unit.name, cali_xs,
-                                   cali_ts, cali_cs, act_quant=False,
-                                   batch_size=cfg.capture_batch)
-        rng, sub = jax.random.split(rng)
-        qstate = reconstruct_unit(model, params, qstate, unit, inps, out,
-                                  cfg.weight, act_quant=False, rng=sub,
-                                  sm_abit=cfg.sm_abit, cached_grads=grads)
-        if checkpointer is not None or not cfg.pipeline:
-            jax.block_until_ready(qstate[unit.layer_names[0]]["w"]["delta"])
-            logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
-                        len(model.units), unit.name, time.time() - t0)
-        else:
-            logger.info("[%d/%d] weight recon %-28s dispatched (+%.1fs)",
-                        k + 1, len(model.units), unit.name, time.time() - t0)
-        if checkpointer is not None:
-            checkpointer.save(qstate, "weight", k)
+    def _plan(names):
+        if gc is not None and names:
+            return gc.plan(names, params, cali_xs, cali_ts, cali_cs)
+        return [(n,) for n in names]
+
+    # ---- weight rounding pass -------------------------------------------
+    if start_phase == "weight":
+        w_names = []
+        for unit in model.units:
+            if unit.name in cfg.skip_units or not unit.layer_names:
+                logger.info("skip reconstruction of %s", unit.name)
+            else:
+                w_names.append(unit.name)
+        for group in _plan(w_names):
+            if all(unit_by_name[n][0] < start_idx for n in group):
+                continue
+            fp = (gc.fp_capture(params, group, cali_xs, cali_ts, cali_cs)
+                  if gc is not None else None)
+            for name in group:
+                k, unit = unit_by_name[name]
+                if k < start_idx:
+                    continue
+                t0 = time.time()
+                if gc is not None:
+                    out = fp[name][1]
+                    inps = (gc.quant_capture(
+                        params, qstate, group, name, cali_xs, cali_ts,
+                        cali_cs, act_quant=False)
+                        if cfg.asym else fp[name][0])
+                else:
+                    inps, out = capture_unit_io(
+                        model, params, qstate, name, cali_xs, cali_ts,
+                        cali_cs, asym=cfg.asym, act_quant=False,
+                        batch_size=cfg.capture_batch)
+                grads = None
+                if cfg.weight.opt_mode != "mse":
+                    from qdiffusion_tpu.calib.fisher import save_grad_data
+
+                    grads = save_grad_data(
+                        model, params, qstate, name, cali_xs, cali_ts,
+                        cali_cs, act_quant=False,
+                        batch_size=cfg.capture_batch)
+                rng, sub = jax.random.split(rng)
+                qstate = reconstruct_unit(
+                    model, params, qstate, unit, inps, out, cfg.weight,
+                    act_quant=False, rng=sub, sm_abit=cfg.sm_abit,
+                    cached_grads=grads)
+                if checkpointer is not None or not cfg.pipeline:
+                    jax.block_until_ready(
+                        qstate[unit.layer_names[0]]["w"]["delta"])
+                    logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
+                                len(model.units), name, time.time() - t0)
+                else:
+                    logger.info("[%d/%d] weight recon %-28s dispatched "
+                                "(+%.1fs)", k + 1, len(model.units), name,
+                                time.time() - t0)
+                if checkpointer is not None:
+                    checkpointer.save(qstate, "weight", k)
+            del fp
     if start_phase == "weight":
         start_idx = 0
         if cfg.pipeline and checkpointer is None:
@@ -230,28 +269,41 @@ def calibrate(
             logger.info("running-stat EMA sweep done")
         start_idx = 0
 
-    for k, unit in enumerate(model.units):
-        if k < start_idx or unit.name in cfg.skip_units:
+    a_names = [u.name for u in model.units if u.name not in cfg.skip_units]
+    for group in _plan(a_names):
+        if all(unit_by_name[n][0] < start_idx for n in group):
             continue
-        t0 = time.time()
-        inps, out = capture_unit_io(
-            model, params, qstate, unit.name, cali_xs, cali_ts, cali_cs,
-            asym=False, act_quant=True, batch_size=cfg.capture_batch)
-        grads = None
-        if cfg.act.opt_mode != "mse":
-            from qdiffusion_tpu.calib.fisher import save_grad_data
+        fp = (gc.fp_capture(params, group, cali_xs, cali_ts, cali_cs)
+              if gc is not None else None)
+        for name in group:
+            k, unit = unit_by_name[name]
+            if k < start_idx:
+                continue
+            t0 = time.time()
+            if gc is not None:
+                inps, out = fp[name]
+            else:
+                inps, out = capture_unit_io(
+                    model, params, qstate, name, cali_xs, cali_ts, cali_cs,
+                    asym=False, act_quant=True,
+                    batch_size=cfg.capture_batch)
+            grads = None
+            if cfg.act.opt_mode != "mse":
+                from qdiffusion_tpu.calib.fisher import save_grad_data
 
-            grads = save_grad_data(model, params, qstate, unit.name, cali_xs,
-                                   cali_ts, cali_cs, act_quant=True,
-                                   batch_size=cfg.capture_batch)
-        rng, sub = jax.random.split(rng)
-        qstate = reconstruct_unit(model, params, qstate, unit, inps, out,
-                                  cfg.act, act_quant=True, rng=sub,
-                                  sm_abit=cfg.sm_abit, cached_grads=grads)
-        logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
-                    len(model.units), unit.name, time.time() - t0)
-        if checkpointer is not None:
-            checkpointer.save(qstate, "act", k)
+                grads = save_grad_data(
+                    model, params, qstate, name, cali_xs, cali_ts, cali_cs,
+                    act_quant=True, batch_size=cfg.capture_batch)
+            rng, sub = jax.random.split(rng)
+            qstate = reconstruct_unit(model, params, qstate, unit, inps,
+                                      out, cfg.act, act_quant=True, rng=sub,
+                                      sm_abit=cfg.sm_abit,
+                                      cached_grads=grads)
+            logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
+                        len(model.units), name, time.time() - t0)
+            if checkpointer is not None:
+                checkpointer.save(qstate, "act", k)
+        del fp
 
     if checkpointer is not None:
         checkpointer.finalize(qstate)

@@ -361,8 +361,9 @@ def build_engine(args, task):
             qstate, mode = None, None
         elif args.engine == "stream":
             # weight-only deploy with integer weights resident in HBM
-            step = make_quantized_step(model, params, qstate,
-                                       engine="stream")
+            step = make_quantized_step(
+                model, params, qstate, engine="stream",
+                stream_convs=getattr(args, "stream_convs", False))
             if task.family == "pixel":
                 model_fn = step
             else:
@@ -712,6 +713,10 @@ def main(argv=None):
     add_quant_flags(sp)
     sp.add_argument("--engine", default="sim",
                     choices=["sim", "fold", "int8", "stream"])
+    sp.add_argument("--stream-convs", action="store_true",
+                    help="stream engine: keep conv weights int8/int4 in "
+                         "HBM via the Pallas patch-matmul kernels "
+                         "(batch-1 serving)")
     sp.add_argument("--sampler")
     sp.add_argument("--n", type=int, default=64)
     sp.add_argument("--batch", type=int, default=64)
@@ -742,6 +747,9 @@ def main(argv=None):
     add_quant_flags(sp)
     sp.add_argument("--engine", default="fold",
                     choices=["sim", "fold", "int8", "stream"])
+    sp.add_argument("--stream-convs", action="store_true",
+                    help="stream engine: conv weights resident in HBM "
+                         "(Pallas patch-matmul)")
     sp.add_argument("--sampler")
     sp.add_argument("--timesteps", type=int)
     sp.add_argument("--host", default="127.0.0.1")

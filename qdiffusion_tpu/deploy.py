@@ -32,6 +32,36 @@ from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
 Array = jnp.ndarray
 
 
+@jax.tree_util.register_pytree_node_class
+class StaticMeta:
+    """Static (treedef-side) metadata inside a packed-weight pytree.
+
+    Packed trees ride through jit as ARGUMENTS (never closures — see
+    make_quantized_step), so plain int leaves would be traced; slicing by
+    a traced bound is illegal. Wrapping shape metadata in this node keeps
+    it in the treedef: hashable, static, part of the jit cache key."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def tree_flatten(self):
+        return (), self.value
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux)
+
+    def __repr__(self):
+        return f"StaticMeta({self.value!r})"
+
+    def __eq__(self, other):
+        other_v = other.value if isinstance(other, StaticMeta) else other
+        return self.value == other_v
+
+    def __hash__(self):
+        return hash(self.value)
+
+
 def pack_model(model, params: dict, qstate: dict) -> dict:
     """PackedWeight per layer that has both weight and act quantizer state."""
     packed = {}
@@ -57,17 +87,22 @@ def stream_pack_model(model, params: dict, qstate: dict,
     int4 streaming kernel (ops/pallas/int4_matmul.py) — half the weight
     bandwidth again; XLA has no fusible sub-byte representation.
 
-    dense_only (default): only 2-D (dense) weights stream — measured on
-    this stack, XLA does NOT fuse the dequant into convolutions (it
-    materializes the bf16 weight each step, a net loss), so convs should
-    be served folded (the stream engine folds them).
+    dense_only (default): only 2-D (dense) weights stream. dense_only=False
+    additionally packs conv2d/conv1d weights RESHAPED to 2-D — (ci*kh*kw,
+    co) in the (c, kh, kw) row order of lax.conv_general_dilated_patches —
+    served by the Pallas streaming matmul over extracted patches
+    (ops/qlayers.py::_stream_conv2d). XLA's own conv path materializes the
+    dequantized weight each step (measured net loss, docs/PERF_NOTES.md),
+    which is exactly what the Pallas path avoids: the int8/int4 weight
+    converts in VMEM inside the kernel.
 
-    Per layer: {"segs": [...], "bias"}. int8 seg: {"w_c", "scale",
-    "shift"} with dequantized weight = w_c * scale + shift (per-out-
-    channel affine; w_c recentred to signed int8, same math as
-    ops/int8.py). int4 seg: {"wp", "scale4", "off4"} with weight =
+    Per layer: {"segs": [...], "bias"[, "kshape", "in_chs"]}. int8 seg:
+    {"w_c", "scale", "shift"} with dequantized weight = w_c * scale +
+    shift (per-out-channel affine; w_c recentred to signed int8, same math
+    as ops/int8.py). int4 seg: {"wp", "scale4", "off4"} with weight =
     nib * scale4 + off4 and wp the K-halved nibble pack
-    (ops/pallas/int4_matmul.py docstring)."""
+    (ops/pallas/int4_matmul.py docstring). Conv packs carry kshape
+    (spatial filter dims) and in_chs (per-segment input channels)."""
     packed = {}
     for name, cfg in model.layer_cfgs.items():
         lstate = qstate.get(name)
@@ -81,15 +116,25 @@ def stream_pack_model(model, params: dict, qstate: dict,
             continue
         p = _sub(params, name)
         w = p["w"]
-        int4 = cfg.wq.n_bits <= 4 and w.ndim == 2
+        is_conv = w.ndim != 2
+        int4 = cfg.wq.n_bits <= 4
         center = 0.0 if cfg.wq.symmetric else float(2 ** (cfg.wq.n_bits - 1))
 
         def per_out(a, n_out):
             a = jnp.asarray(a, jnp.float32).reshape(-1)
             return jnp.broadcast_to(a, (n_out,))
 
+        def to2d(a):
+            # conv2d HWIO -> (ci*kh*kw, co); conv1d LIO -> (ci*kl, co).
+            # Row order (c, *filter) matches conv_general_dilated_patches.
+            if a.ndim == 4:
+                return jnp.transpose(a, (2, 0, 1, 3)).reshape(-1, a.shape[-1])
+            if a.ndim == 3:
+                return jnp.transpose(a, (1, 0, 2)).reshape(-1, a.shape[-1])
+            return a
+
         def seg(ww, st):
-            wq = weight_int_values(ww, st, cfg.wq)
+            wq = to2d(weight_int_values(ww, st, cfg.wq))
             delta = jnp.asarray(st["delta"], jnp.float32)
             if int4:
                 # nib = wq + c in [0, 2^bits); w = nib*delta + off
@@ -110,19 +155,26 @@ def stream_pack_model(model, params: dict, qstate: dict,
                         "scale4": per_out(delta, n_out),
                         "off4": off}
             w_c = (wq - center).astype(jnp.int8)
-            shift = (center - jnp.asarray(st["zero_point"],
-                                          jnp.float32)) * delta
+            n_out = ww.shape[-1]
+            shift = (center - per_out(st["zero_point"], n_out)) \
+                * per_out(delta, n_out)
             return {"w_c": w_c,
-                    "scale": jnp.broadcast_to(delta, ()).astype(jnp.bfloat16)
-                    if delta.ndim == 0 else delta.astype(jnp.bfloat16),
+                    "scale": per_out(delta, n_out).astype(jnp.bfloat16),
                     "shift": shift.astype(jnp.bfloat16)}
 
         if cfg.split:
             w_a, w_b = split_weight(w, cfg.split, cfg.in_axis)
+            halves = [w_a, w_b]
             segs = [seg(w_a, lstate["w"]), seg(w_b, lstate["w0"])]
         else:
+            halves = [w]
             segs = [seg(w, lstate["w"])]
-        packed[name] = {"segs": segs, "bias": p.get("b")}
+        entry = {"segs": segs, "bias": p.get("b")}
+        if is_conv:
+            entry["kshape"] = StaticMeta(tuple(int(s) for s in w.shape[:-2]))
+            entry["in_chs"] = StaticMeta(
+                tuple(int(h.shape[-2]) for h in halves))
+        packed[name] = entry
     return packed
 
 
@@ -307,7 +359,8 @@ def load_quantized_checkpoint(path) -> Tuple[dict, dict]:
 def make_quantized_step(model, params: dict, qstate: dict,
                         engine: str = "int8",
                         has_context: bool = False,
-                        carrier_dtype=jnp.bfloat16) -> Callable:
+                        carrier_dtype=jnp.bfloat16,
+                        stream_convs: bool = False) -> Callable:
     """Jitted quantized denoise step (x, t[, context]) -> eps.
 
     carrier_dtype: inter-layer activation dtype for the int8 engine
@@ -328,9 +381,12 @@ def make_quantized_step(model, params: dict, qstate: dict,
     if engine == "stream":
         # weight-only like 'fold', but dense weights stay int8 in HBM
         # (half the weight bandwidth; wins on weight-bound small-batch
-        # shapes). Convs are folded: XLA materializes conv-weight dequant
-        # (measured net loss), so only matmul weights stream.
-        spacked = stream_pack_model(model, params, qstate, dense_only=True)
+        # shapes). stream_convs=True additionally streams conv weights
+        # through the Pallas patch-matmul kernels (qlayers._stream_conv2d)
+        # — the batch-1 serving configuration; at large batch convs are
+        # compute-bound and folded bf16 convs are the right call.
+        spacked = stream_pack_model(model, params, qstate,
+                                    dense_only=not stream_convs)
         sfolded = fold_weights(model, params, qstate)
         smode = QuantMode(w=False, a=False)
 

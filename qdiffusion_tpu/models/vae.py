@@ -59,6 +59,15 @@ def _resnet(p: dict, x: Array) -> Array:
     return x + h
 
 
+# Single-head D=512 attention over hh*ww tokens (model.py:AttnBlock).
+# At >= this many tokens (SD 512^2 decode: 4096 tokens at the mid block)
+# the materializing (S, S) path leaves VMEM reach and the flash dispatch
+# takes over: resident Pallas flash when 2x(S, 512) K/V fits scoped VMEM,
+# the streaming two-pass kernel otherwise (its footprint is S-independent
+# and D-generic — Dp=512 is four 128-lane tiles).
+_FLASH_TOKENS = 1024
+
+
 def _attn(p: dict, x: Array) -> Array:
     b, hh, ww, c = x.shape
     h = nn.group_norm(x, p["norm"]["scale"], p["norm"]["bias"])
@@ -68,11 +77,19 @@ def _attn(p: dict, x: Array) -> Array:
     q = q.reshape(b, hh * ww, c)
     k = k.reshape(b, hh * ww, c)
     v = v.reshape(b, hh * ww, c)
-    w = jnp.einsum("bic,bjc->bij", q, k,
-                   preferred_element_type=jnp.float32) * (int(c) ** -0.5)
-    w = jax.nn.softmax(w, axis=2)
-    h = jnp.einsum("bij,bjc->bic", w, v,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    scale = int(c) ** -0.5
+    if hh * ww >= _FLASH_TOKENS and jax.default_backend() == "tpu":
+        from qdiffusion_tpu.ops.attention import blockwise_attention
+
+        h = blockwise_attention(q[:, :, None, :], k[:, :, None, :],
+                                v[:, :, None, :], scale=scale)[:, :, 0, :]
+        h = h.astype(x.dtype)
+    else:
+        w = jnp.einsum("bic,bjc->bij", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        w = jax.nn.softmax(w, axis=2)
+        h = jnp.einsum("bij,bjc->bic", w, v,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
     h = h.reshape(b, hh, ww, c)
     h = nn.conv2d(h, p["proj_out"]["w"], p["proj_out"]["b"], padding="VALID")
     return x + h

@@ -115,6 +115,60 @@ def _stream_dense_int4(packed: dict, x: Array, split: int) -> Array:
     return y
 
 
+def _stream_seg_matmul(seg, flat: Array, bias, interpret: bool) -> Array:
+    """(M, K) rows x one packed weight segment -> (M, N); dispatches to the
+    int4 nibble kernel or the int8 weight-streaming kernel."""
+    if "wp" in seg:
+        from qdiffusion_tpu.ops.pallas.int4_matmul import int4_dense_stream
+
+        k_packed = 2 * seg["wp"].shape[0]
+        if k_packed != flat.shape[-1]:  # odd-K zero-pad at pack time
+            flat = jnp.pad(flat, ((0, 0), (0, k_packed - flat.shape[-1])))
+        return int4_dense_stream(flat, seg["wp"], seg["scale4"],
+                                 seg["off4"], bias=bias,
+                                 out_dtype=flat.dtype, interpret=interpret)
+    from qdiffusion_tpu.ops.pallas.int8_matmul import int8_dense_stream
+
+    return int8_dense_stream(flat, seg["w_c"], seg["scale"], seg["shift"],
+                             bias=bias, out_dtype=flat.dtype,
+                             interpret=interpret)
+
+
+def _stream_conv2d(packed: dict, x: Array, *, stride=1,
+                   padding="SAME") -> Array:
+    """Conv2d with int8/int4 weights resident in HBM: XLA patch extraction
+    + Pallas streaming matmul with the dequant fused into the VMEM weight
+    load. XLA's own conv path materializes the dequantized weight in HBM
+    every step (measured loser, docs/PERF_NOTES.md); on weight-bound
+    batch-1 serving shapes the patch read amplification (kh*kw x on
+    activations) is noise next to the 2-4x weight-bandwidth saving."""
+    import jax
+    from jax import lax
+
+    kh, kw = packed["kshape"].value
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = [(padding, padding), (padding, padding)]
+    interpret = jax.default_backend() != "tpu"
+    c0, y = 0, None
+    for seg, ci in zip(packed["segs"], packed["in_chs"].value):
+        xs = x[..., c0:c0 + ci]
+        c0 += ci
+        if (kh, kw) == (1, 1) and stride == (1, 1):
+            p = xs  # 1x1 stride-1: the patches ARE the input
+        else:
+            p = lax.conv_general_dilated_patches(
+                xs, (kh, kw), stride, padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        B, Ho, Wo, K = p.shape
+        bias = packed.get("bias") if y is None else None
+        part = _stream_seg_matmul(seg, p.reshape(-1, K), bias, interpret)
+        part = part.reshape(B, Ho, Wo, -1)
+        y = part if y is None else y + part
+    return y
+
+
 def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
             *, stride=1, padding="SAME", feature_group_count: int = 1) -> Array:
     if ctx.engine == "int8" and name in ctx.packed:
@@ -123,6 +177,8 @@ def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
         return int8_conv2d(x, ctx.packed[name], stride=stride, padding=padding)
     if ctx.engine == "stream" and name in ctx.packed:
         pk = ctx.packed[name]
+        if "kshape" in pk and feature_group_count == 1:
+            return _stream_conv2d(pk, x, stride=stride, padding=padding)
         return nn.conv2d(x, _stream_dequant(pk, 2, x.dtype), pk.get("bias"),
                          stride=stride, padding=padding,
                          feature_group_count=feature_group_count)
@@ -135,7 +191,38 @@ def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
 def qconv1d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
             *, stride=1, padding="SAME") -> Array:
     if ctx.engine == "stream" and name in ctx.packed:
+        import jax
+
         pk = ctx.packed[name]
+        if pk.get("kshape") == (1,) and stride == 1:
+            # k=1 conv1d (the AttentionBlock qkv/proj projections) is a
+            # dense over channels: stream it through the Pallas kernels
+            interpret = jax.default_backend() != "tpu"
+            c0, y = 0, None
+            for seg, ci in zip(pk["segs"], pk["in_chs"].value):
+                xs = x[..., c0:c0 + ci]
+                c0 += ci
+                lead = xs.shape[:-1]
+                part = _stream_seg_matmul(
+                    seg, xs.reshape(-1, ci),
+                    pk.get("bias") if y is None else None, interpret)
+                part = part.reshape(*lead, -1)
+                y = part if y is None else y + part
+            return y
+        if "kshape" in pk:
+            # general-k conv1d has no deployed user (LDM uses k=1 only);
+            # reconstruct per-segment LIO weights and run the XLA conv
+            kl = pk["kshape"].value[0]
+            c0, y = 0, None
+            for seg, ci in zip(pk["segs"], pk["in_chs"].value):
+                w2d = _stream_dequant({"segs": [seg]}, 0, x.dtype)
+                w = w2d.reshape(ci, kl, -1).transpose(1, 0, 2)
+                part = nn.conv1d(x[..., c0:c0 + ci], w,
+                                 pk.get("bias") if y is None else None,
+                                 stride=stride, padding=padding)
+                c0 += ci
+                y = part if y is None else y + part
+            return y
         return nn.conv1d(x, _stream_dequant(pk, 1, x.dtype), pk.get("bias"),
                          stride=stride, padding=padding)
     x = _quant_input(ctx, name, x, cfg)

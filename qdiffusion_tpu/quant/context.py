@@ -170,9 +170,17 @@ class QuantCtx:
     # -- block capture -------------------------------------------------------
 
     def capture_io(self, name: str, inp, out):
-        """Record a block's (input, output) when it is the capture target."""
-        if self.capture == name:
+        """Record a block's (input, output) when it is a capture target.
+
+        `capture` is a single unit name or a collection of names (grouped
+        capture, calib/capture.py::GroupedCapture — one compiled program
+        captures several consecutive units, killing the per-unit compile
+        wall of the reference's per-block hook scheme, qdiff/utils.py:18-149)."""
+        if self.is_capture_target(name):
             self.captured[name] = {"inp": inp, "out": out}
 
     def is_capture_target(self, name: str) -> bool:
-        return self.capture == name
+        cap = self.capture
+        if cap is None:
+            return False
+        return name == cap if isinstance(cap, str) else name in cap

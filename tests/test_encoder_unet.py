@@ -26,6 +26,9 @@ def test_parity(pool):
         image_size=16, in_channels=3, model_channels=32, out_channels=10,
         num_res_blocks=1, attention_resolutions=[2], channel_mult=(1, 2),
         num_heads=4, pool=pool, dropout=0.0).eval()
+    from test_unet_ldm import _dezero
+
+    _dezero(ref)  # zero_module-init'd branches made the compare vacuous
 
     cfg = EncoderUNetConfig(
         image_size=16, in_channels=3, model_channels=32, out_channels=10,

@@ -58,21 +58,20 @@ def test_stream_pack_contents():
     from qdiffusion_tpu.models.unet_ddim import _sub as _sub0
 
     for n, pk in packed.items():
-        dense = _sub0(params, n)["w"].ndim == 2
+        w = _sub0(params, n)["w"]
+        if w.ndim != 2:
+            # conv packs carry the patch-matmul metadata and 2-D weights
+            assert pk["kshape"].value == w.shape[:-2]
+            assert sum(pk["in_chs"].value) == w.shape[-2]
         for seg in pk["segs"]:
-            if dense:
-                # 4-bit dense weights nibble-pack for the Pallas kernel
-                assert seg["wp"].dtype == jnp.uint8
-                from qdiffusion_tpu.ops.pallas.int4_matmul import \
-                    unpack_int4_weight
+            # 4-bit weights (dense AND conv) nibble-pack for the Pallas
+            # streaming kernels
+            assert seg["wp"].dtype == jnp.uint8
+            from qdiffusion_tpu.ops.pallas.int4_matmul import \
+                unpack_int4_weight
 
-                vals = np.asarray(unpack_int4_weight(seg["wp"]))
-                assert vals.min() >= 0 and vals.max() <= 15
-            else:
-                assert seg["w_c"].dtype == jnp.int8
-                # 4-bit grid recentred by 8: values in [-8, 7]
-                vals = np.asarray(seg["w_c"])
-                assert vals.min() >= -8 and vals.max() <= 7
+            vals = np.asarray(unpack_int4_weight(seg["wp"]))
+            assert vals.min() >= 0 and vals.max() <= 15
 
     # default (deployed) pack streams only dense weights — convs fold
     dense = stream_pack_model(model, params, qstate)
@@ -106,3 +105,116 @@ def test_stream_cli(tmp_path, monkeypatch):
               "--engine", "stream", "--n", "2", "--batch", "2",
               "--out", str(out)])
     assert len(list(out.glob("*.png"))) == 2
+
+
+@pytest.mark.parametrize("cfg,wbits", [(TINY, 8), (TINY_SPLIT, 4)])
+def test_stream_convs_matches_fold(cfg, wbits):
+    """stream_convs=True: conv weights resident in HBM, served by the
+    Pallas patch-matmul kernels (qlayers._stream_conv2d) — full-model
+    parity vs the fold engine (same integer grid, bf16 carrier)."""
+    policy = QuantPolicy(wq=AffineQuantizerSpec(
+        n_bits=wbits, channel_wise=True, channel_axis=-1, scale_method="max"))
+    model = DDIMUNet(cfg, policy)
+    params = model.init_params(jax.random.PRNGKey(0))
+    qstate = init_weight_qstate(model, params)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    t = jnp.full((1,), 300.0)
+
+    fold_step = make_quantized_step(model, params, qstate, engine="fold")
+    conv_step = make_quantized_step(model, params, qstate, engine="stream",
+                                    stream_convs=True)
+    y_fold = np.asarray(fold_step(x, t), np.float32)
+    y_conv = np.asarray(conv_step(x, t), np.float32)
+    rel = np.linalg.norm(y_conv - y_fold) / np.linalg.norm(y_fold)
+    assert rel < 2e-2, rel
+
+
+@pytest.mark.parametrize("wbits", [8, 4])
+@pytest.mark.parametrize("khw,stride,split", [
+    ((3, 3), 1, 0), ((3, 3), 2, 0), ((1, 1), 1, 0), ((3, 3), 1, 5)])
+def test_stream_conv2d_unit(wbits, khw, stride, split):
+    """_stream_conv2d vs the dequantized XLA conv: exact same integer
+    weights, bf16 math — near-exact parity across filter sizes, strides,
+    and split-shortcut segments."""
+    from qdiffusion_tpu.nn import conv2d
+    from qdiffusion_tpu.ops.qlayers import _stream_conv2d, split_weight
+    from qdiffusion_tpu.quant.affine import fake_quant, init_state
+
+    kh, kw = khw
+    ci, co = 13, 24
+    rng = np.random.default_rng(wbits + kh + stride + split)
+    w = jnp.asarray(rng.normal(size=(kh, kw, ci, co)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 9, 9, ci)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    spec = AffineQuantizerSpec(n_bits=wbits, channel_wise=True,
+                               channel_axis=-1, scale_method="max")
+
+    class OneConv:
+        def __init__(self):
+            from qdiffusion_tpu.models.base import LayerQuantConfig
+
+            self._cfg = LayerQuantConfig(wq=spec, aq=spec, split=split,
+                                         in_axis=2)
+
+        @property
+        def layer_cfgs(self):
+            return {"c": self._cfg}
+
+    from qdiffusion_tpu.deploy import stream_pack_model
+
+    params = {"c": {"w": w, "b": b}}
+    if split:
+        wa, wb = split_weight(w, split, 2)
+        qstate = {"c": {"w": init_state(wa, spec),
+                        "w0": init_state(wb, spec)}}
+        wq = jnp.concatenate([
+            fake_quant(wa, qstate["c"]["w"]["delta"],
+                       qstate["c"]["w"]["zero_point"], spec),
+            fake_quant(wb, qstate["c"]["w0"]["delta"],
+                       qstate["c"]["w0"]["zero_point"], spec)], axis=2)
+    else:
+        qstate = {"c": {"w": init_state(w, spec)}}
+        wq = fake_quant(w, qstate["c"]["w"]["delta"],
+                        qstate["c"]["w"]["zero_point"], spec)
+
+    expected = np.asarray(conv2d(x, wq, b, stride=stride, padding="SAME"))
+    packed = stream_pack_model(OneConv(), params, qstate, dense_only=False)
+    got = np.asarray(_stream_conv2d(packed["c"], x, stride=stride,
+                                    padding="SAME"))
+    rel = np.linalg.norm(got - expected) / np.linalg.norm(expected)
+    assert rel < 1e-2, rel
+
+
+def test_stream_conv1d_k1_unit():
+    """k=1 conv1d streams as a dense over channels."""
+    from qdiffusion_tpu.models.base import LayerQuantConfig
+    from qdiffusion_tpu.nn import conv1d
+    from qdiffusion_tpu.deploy import stream_pack_model
+    from qdiffusion_tpu.ops.qlayers import qconv1d
+    from qdiffusion_tpu.quant.affine import fake_quant, init_state
+    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+
+    rng = np.random.default_rng(0)
+    ci, co = 32, 48
+    w = jnp.asarray(rng.normal(size=(1, ci, co)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 10, ci)).astype(np.float32))
+    spec = AffineQuantizerSpec(n_bits=8, channel_wise=True, channel_axis=-1,
+                               scale_method="max")
+
+    class OneConv:
+        layer_cfgs = {"c": LayerQuantConfig(wq=spec, aq=spec, in_axis=1)}
+
+    qstate = {"c": {"w": init_state(w, spec)}}
+    packed = stream_pack_model(OneConv(), {"c": {"w": w, "b": b}}, qstate,
+                               dense_only=False)
+    wq = fake_quant(w, qstate["c"]["w"]["delta"],
+                    qstate["c"]["w"]["zero_point"], spec)
+    expected = np.asarray(conv1d(x, wq, b))
+    ctx = QuantCtx(None, mode=QuantMode(w=False, a=False), engine="stream",
+                   packed=packed)
+    got = np.asarray(qconv1d(ctx, "c", {"w": w, "b": b}, x,
+                             OneConv.layer_cfgs["c"]))
+    rel = np.linalg.norm(got - expected) / np.linalg.norm(expected)
+    assert rel < 1e-2, rel

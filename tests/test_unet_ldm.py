@@ -34,6 +34,25 @@ SD_TINY = LDMUNetConfig(
     context_dim=24)
 
 
+def _dezero(m, seed=1):
+    """Replace zero_module-initialized tensors with small noise.
+
+    The reference UNetModel zero-inits every residual-branch output conv,
+    attention proj_out, and the final out conv (openaimodel.py zero_module)
+    — a random-init model therefore outputs EXACTLY ZERO, which made
+    output-level golden parity vacuous. De-zeroing makes every interior
+    path contribute to the compared output."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    sd = m.state_dict()
+    for k, v in sd.items():
+        if v.is_floating_point() and v.numel() and not v.abs().max():
+            sd[k] = torch.empty_like(v).normal_(0, 0.05, generator=g)
+    m.load_state_dict(sd)
+    return m
+
+
 def _ref_unet(cfg: LDMUNetConfig):
     if not REF.exists():
         pytest.skip("reference repo not mounted")
@@ -67,9 +86,10 @@ def _ref_unet(cfg: LDMUNetConfig):
         use_spatial_transformer=cfg.use_spatial_transformer,
         transformer_depth=cfg.transformer_depth, context_dim=cfg.context_dim,
         num_classes=cfg.num_classes,
+        legacy=cfg.legacy,
         dropout=0.0)
     m.eval()
-    return m
+    return _dezero(m)
 
 
 @pytest.mark.parametrize("cfg,needs_ctx", [
