@@ -171,7 +171,10 @@ def calibrate(
             start_idx = progress["unit_idx"] + 1
 
     if qstate is None:
-        qstate = init_weight_qstate(model, params)
+        # one jitted program: eager per-layer scale init costs one RPC per
+        # op on remote-dispatch setups (minutes at 38 layers over the
+        # axon tunnel)
+        qstate = jax.jit(lambda p: init_weight_qstate(model, p))(params)
         logger.info("weight quantizer scales initialized (%d layers)",
                     len(qstate))
 
@@ -193,6 +196,26 @@ def calibrate(
                 logger.info("skip reconstruction of %s", unit.name)
             else:
                 w_names.append(unit.name)
+        if gc is not None and cfg.asym and w_names:
+            # Pre-init every recon unit's AdaRound alphas in ONE jitted
+            # program. Without this the qstate pytree STRUCTURE grows
+            # after each unit's recon (alpha leaves appear), retracing and
+            # recompiling the group asym-capture program for every unit —
+            # exactly the per-unit compile wall grouping exists to kill.
+            # Values are unchanged: prefix units are always reconstructed
+            # (optimized alphas) before unit j's capture, and suffix units
+            # past j are XLA-discarded from j's captured input.
+            from qdiffusion_tpu.calib.recon import init_adaround_unit
+
+            def _pre_init(p, q):
+                for n in w_names:
+                    q = init_adaround_unit(model, p, q, unit_by_name[n][1],
+                                           skip_existing=True)
+                return q
+
+            qstate = jax.jit(_pre_init)(params, qstate)
+            logger.info("adaround alphas pre-initialized "
+                        "(constant capture-program structure)")
         for group in _plan(w_names):
             if all(unit_by_name[n][0] < start_idx for n in group):
                 continue
@@ -214,6 +237,8 @@ def calibrate(
                         model, params, qstate, name, cali_xs, cali_ts,
                         cali_cs, asym=cfg.asym, act_quant=False,
                         batch_size=cfg.capture_batch)
+                jax.block_until_ready(inps[0])
+                t_cap = time.time() - t0
                 grads = None
                 if cfg.weight.opt_mode != "mse":
                     from qdiffusion_tpu.calib.fisher import save_grad_data
@@ -230,8 +255,9 @@ def calibrate(
                 if checkpointer is not None or not cfg.pipeline:
                     jax.block_until_ready(
                         qstate[unit.layer_names[0]]["w"]["delta"])
-                    logger.info("[%d/%d] weight recon %-28s %.1fs", k + 1,
-                                len(model.units), name, time.time() - t0)
+                    logger.info("[%d/%d] weight recon %-28s %.1fs "
+                                "(capture %.1fs)", k + 1, len(model.units),
+                                name, time.time() - t0, t_cap)
                 else:
                     logger.info("[%d/%d] weight recon %-28s dispatched "
                                 "(+%.1fs)", k + 1, len(model.units), name,

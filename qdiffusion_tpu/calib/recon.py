@@ -50,10 +50,17 @@ class ReconConfig:
 # ---------------------------------------------------------------------------
 
 
-def init_adaround_unit(model, params: dict, qstate: dict, unit) -> dict:
+def init_adaround_unit(model, params: dict, qstate: dict, unit, *,
+                       skip_existing: bool = False) -> dict:
     """Add AdaRound alpha leaves to every weight quantizer in `unit`
     (reference block_recon.py:47-61: swap UniformAffineQuantizer ->
-    AdaRoundQuantizer, split-aware)."""
+    AdaRoundQuantizer, split-aware).
+
+    skip_existing=True preserves alphas already present — used by the
+    engine's upfront all-unit pre-init (keeps the asym-capture program's
+    qstate STRUCTURE constant across the weight pass, so the grouped
+    capture program never retraces) without clobbering optimized alphas
+    on checkpoint resume."""
     from qdiffusion_tpu.models.unet_ddim import _sub  # tree access helper
 
     new = dict(qstate)
@@ -64,10 +71,15 @@ def init_adaround_unit(model, params: dict, qstate: dict, unit) -> dict:
         if cfg.split:
             w_a, w_b = split_weight(w, cfg.split, cfg.in_axis)
             for slot, ww in (("w", w_a), ("w0", w_b)):
+                if skip_existing and "alpha" in lstate[slot]:
+                    continue
                 st = dict(lstate[slot])
                 st["alpha"] = adaround_init_alpha(ww, st["delta"])
                 lstate[slot] = st
         else:
+            if skip_existing and "alpha" in lstate["w"]:
+                new[lname] = lstate
+                continue
             st = dict(lstate["w"])
             st["alpha"] = adaround_init_alpha(w, st["delta"])
             lstate["w"] = st
@@ -110,17 +122,11 @@ def _insert_path(tree: dict, dotted: str, node) -> None:
     cur[parts[-1]] = node
 
 
-def unit_param_subtree(params: dict, unit) -> dict:
-    """The minimal params subtree `unit.apply` reads (the unit's own block
-    subtree plus any layer paths outside it), re-rooted with the original
-    nesting so the unit's absolute-path lookups still resolve.
-
-    Passing this as a jit ARGUMENT instead of closing over the full tree
-    keeps weights out of the compiled program (multi-MB constants) and —
-    decisive for calibration wall time — makes the reconstruction HLO
-    shape-only, so every same-shaped unit (e.g. the repeated ResBlocks of
-    a UNet stage) hits the persistent compilation cache instead of paying
-    its own remote compile."""
+def unit_param_paths(params: dict, unit) -> list:
+    """Minimal list of resolvable root paths covering everything
+    `unit.apply` reads (the unit's own block subtree plus any layer paths
+    outside it); deterministic order — the canonical relabeling in
+    reconstruct_unit indexes into it."""
     from qdiffusion_tpu.models.base import _sub
 
     paths: list = []
@@ -129,14 +135,40 @@ def unit_param_subtree(params: dict, unit) -> dict:
             continue
         paths = [q for q in paths if not q.startswith(pth + ".")]
         paths.append(pth)
-    sub: dict = {}
+    out = []
     for pth in paths:
         try:
-            node = _sub(params, pth)
+            _sub(params, pth)
         except (KeyError, TypeError):
             continue  # non-param site (e.g. attention matmul unit names)
-        _insert_path(sub, pth, node)
+        out.append(pth)
+    return out
+
+
+def _sub_path(params: dict, pth: str):
+    from qdiffusion_tpu.models.base import _sub
+
+    return _sub(params, pth)
+
+
+def unit_param_subtree(params: dict, unit) -> dict:
+    """The minimal params subtree `unit.apply` reads, re-rooted with the
+    original nesting so the unit's absolute-path lookups still resolve.
+
+    Passing this as a jit ARGUMENT instead of closing over the full tree
+    keeps weights out of the compiled program (multi-MB constants) and
+    makes the reconstruction HLO shape-only; reconstruct_unit goes one
+    step further and relabels it canonically so same-structure units
+    share one TRACE, not just one XLA compile."""
+    sub: dict = {}
+    for pth in unit_param_paths(params, unit):
+        _insert_path(sub, pth, _sub_path(params, pth))
     return sub
+
+
+# jitted reconstruction runners shared across same-structure units
+# (see reconstruct_unit); key -> (jitted run, swap cell)
+_RUN_CACHE: dict = {}
 
 
 def unit_qstate_subtree(qstate: dict, unit) -> dict:
@@ -218,65 +250,118 @@ def reconstruct_unit(
     else:
         opt = optax.adam(cfg.alpha_lr)
 
-    # shape-only HLO: the unit's param/qstate subtrees ride as jit
-    # arguments (see unit_param_subtree) so repeated same-shaped units
-    # share one compiled program via the persistent compilation cache
-    sub_params = unit_param_subtree(params, unit)
-    sub_qstate = unit_qstate_subtree(qstate, unit)
+    # Shape-only AND name-free programs: the unit's param/qstate subtrees
+    # are relabeled to canonical keys (p000..., q000...) before entering
+    # jit, so every unit with the same kind, local structure, and shapes
+    # shares ONE jitted runner — zero retrace after the first. On a
+    # single-core host the per-unit trace+lower of a 20k-iteration grad
+    # loop costs 10-20 s, which dominated cold calibration once the
+    # capture compile wall fell (docs/E2E_RUN.md round-3 table). The
+    # runner resolves the CURRENT unit's apply/paths through a swap cell:
+    # the compiled program is a pure function of the flattened arrays
+    # (site names never reach HLO), and canonical relabeling aligns the
+    # flatten order across same-structure units; on any treedef/shape
+    # mismatch jit retraces with the current cell, which is also correct.
+    p_paths = unit_param_paths(params, unit)
+    all_sites = list(dict.fromkeys(
+        list(unit.layer_names) + [unit.name]
+        + list(getattr(unit, "extra_sites", []))))
+    q_sites = [s for s in all_sites if s in qstate]
 
-    def loss_fn(train, sub_p, sub_q, b_x, b_t_aux, b_out, b_grad, b_temp,
-                count):
-        q = merge_trainable(sub_q, train, mode)
-        ctx = QuantCtx(q, mode=fwd_mode, differentiable=True)
-        inps = (b_x,) if b_t_aux is None else (b_x, b_t_aux)
-        pred = unit.apply(sub_p, ctx, *inps)
-        if cfg.opt_mode != "mse":
-            from qdiffusion_tpu.calib.fisher import fisher_rec_loss
+    c_params = {f"p{i:03d}": _sub_path(params, pth)
+                for i, pth in enumerate(p_paths)}
+    c_qstate = {f"q{i:03d}": qstate[s] for i, s in enumerate(q_sites)}
+    site_idx = {s: i for i, s in enumerate(q_sites)}
+    c_train0 = {f"q{site_idx[s]:03d}": v for s, v in train0.items()}
 
-            rec = fisher_rec_loss(pred, b_out, b_grad, cfg.opt_mode,
-                                  axis=loss_axis)
-        else:
-            err = jnp.abs(pred - b_out) ** p_norm
-            rec = jnp.mean(jnp.sum(err, axis=loss_axis))
-        if act_quant:
-            return rec
-        round_loss = 0.0
-        for site, slots in train.items():
-            for slot, alpha in slots.items():
-                h = adaround_soft_targets(alpha)
-                round_loss = round_loss + cfg.weight * jnp.sum(
-                    1.0 - jnp.abs(2.0 * h - 1.0) ** b_temp)
-        # no rounding penalty during warmup (block_recon.py:217-218)
-        round_loss = jnp.where(count < cfg.warmup * cfg.iters, 0.0, round_loss)
-        return rec + round_loss
+    def local_sig(names):
+        base = unit.name + "."
+        return tuple("~self" if nm == unit.name
+                     else nm[len(base):] if nm.startswith(base)
+                     else "~abs:" + nm for nm in names)
 
-    grad_fn = jax.grad(loss_fn)
     two_inputs = len(cached_inps) > 1
+    arg_tree = (c_train0, c_params, c_qstate, cached_inps, cached_out,
+                cached_grads)
+    leaves, treedef = jax.tree_util.tree_flatten(arg_tree)
+    shapes = tuple((tuple(a.shape), jnp.result_type(a).name) for a in leaves)
+    key = (unit.kind, local_sig(p_paths), local_sig(q_sites), mode, cfg,
+           loss_axis, sm_abit, treedef, shapes)
 
-    @jax.jit
-    def run(train0, sub_p, sub_q, inps, out, fgrads, key):
-        def body(i, carry):
-            train, opt_state, k = carry
-            key_i = jax.random.fold_in(k, i)
-            idx = jax.random.randint(key_i, (cfg.batch_size,), 0, n)
-            b_x = jnp.take(inps[0], idx, axis=0)
-            b_aux = jnp.take(inps[1], idx, axis=0) if two_inputs else None
-            b_out = jnp.take(out, idx, axis=0)
-            b_grad = (jnp.take(fgrads, idx, axis=0)
-                      if fgrads is not None else None)
-            b_temp = temp_decay(i + 1.0, cfg.iters, cfg.warmup, cfg.b_start,
-                                cfg.b_end)
-            grads = grad_fn(train, sub_p, sub_q, b_x, b_aux, b_out, b_grad,
-                            b_temp, i + 1.0)
-            updates, opt_state = opt.update(grads, opt_state, train)
-            train = optax.apply_updates(train, updates)
-            return (train, opt_state, k)
+    cached = _RUN_CACHE.get(key)
+    if cached is None:
+        cell = {}
 
-        opt_state = opt.init(train0)
-        train, _, _ = jax.lax.fori_loop(
-            0, cfg.iters, body, (train0, opt_state, key))
-        return train
+        def loss_fn(c_train, c_sub_p, c_sub_q, b_x, b_t_aux, b_out, b_grad,
+                    b_temp, count):
+            sub_p: dict = {}
+            for i, pth in enumerate(cell["p_paths"]):
+                _insert_path(sub_p, pth, c_sub_p[f"p{i:03d}"])
+            sub_q = {s: c_sub_q[f"q{i:03d}"]
+                     for i, s in enumerate(cell["q_sites"])}
+            train = {cell["q_sites"][int(k[1:])]: v
+                     for k, v in c_train.items()}
+            q = merge_trainable(sub_q, train, mode)
+            ctx = QuantCtx(q, mode=fwd_mode, differentiable=True)
+            inps = (b_x,) if b_t_aux is None else (b_x, b_t_aux)
+            pred = cell["apply"](sub_p, ctx, *inps)
+            if cfg.opt_mode != "mse":
+                from qdiffusion_tpu.calib.fisher import fisher_rec_loss
 
-    train_final = run(train0, sub_params, sub_qstate, cached_inps,
-                      cached_out, cached_grads, rng)
+                rec = fisher_rec_loss(pred, b_out, b_grad, cfg.opt_mode,
+                                      axis=loss_axis)
+            else:
+                err = jnp.abs(pred - b_out) ** p_norm
+                rec = jnp.mean(jnp.sum(err, axis=loss_axis))
+            if act_quant:
+                return rec
+            round_loss = 0.0
+            for site, slots in train.items():
+                for slot, alpha in slots.items():
+                    h = adaround_soft_targets(alpha)
+                    round_loss = round_loss + cfg.weight * jnp.sum(
+                        1.0 - jnp.abs(2.0 * h - 1.0) ** b_temp)
+            # no rounding penalty during warmup (block_recon.py:217-218)
+            round_loss = jnp.where(count < cfg.warmup * cfg.iters, 0.0,
+                                   round_loss)
+            return rec + round_loss
+
+        grad_fn = jax.grad(loss_fn)
+
+        @jax.jit
+        def run(train0_, sub_p, sub_q, inps, out, fgrads, key_):
+            n_ = inps[0].shape[0]
+
+            def body(i, carry):
+                train, opt_state, k = carry
+                key_i = jax.random.fold_in(k, i)
+                idx = jax.random.randint(key_i, (cfg.batch_size,), 0, n_)
+                b_x = jnp.take(inps[0], idx, axis=0)
+                b_aux = jnp.take(inps[1], idx, axis=0) if two_inputs else None
+                b_out = jnp.take(out, idx, axis=0)
+                b_grad = (jnp.take(fgrads, idx, axis=0)
+                          if fgrads is not None else None)
+                b_temp = temp_decay(i + 1.0, cfg.iters, cfg.warmup,
+                                    cfg.b_start, cfg.b_end)
+                grads = grad_fn(train, sub_p, sub_q, b_x, b_aux, b_out,
+                                b_grad, b_temp, i + 1.0)
+                updates, opt_state = opt.update(grads, opt_state, train)
+                train = optax.apply_updates(train, updates)
+                return (train, opt_state, k)
+
+            opt_state = opt.init(train0_)
+            train, _, _ = jax.lax.fori_loop(
+                0, cfg.iters, body, (train0_, opt_state, key_))
+            return train
+
+        cached = (run, cell)
+        _RUN_CACHE[key] = cached
+
+    run, cell = cached
+    cell["apply"] = unit.apply
+    cell["p_paths"] = p_paths
+    cell["q_sites"] = q_sites
+    c_train_final = run(c_train0, c_params, c_qstate, cached_inps,
+                        cached_out, cached_grads, rng)
+    train_final = {q_sites[int(k[1:])]: v for k, v in c_train_final.items()}
     return merge_trainable(qstate, train_final, mode)

@@ -115,7 +115,9 @@ def load_fp_params(path: str, task, model):
         from qdiffusion_tpu.utils.checkpoints import load_pytree
         import jax
 
-        like = model.init_params(jax.random.PRNGKey(0))
+        # structure-only template: eval_shape costs nothing (eager init
+        # over the remote tunnel is one RPC per op)
+        like = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
         return load_pytree(path, like)
     raise ValueError(f"unknown checkpoint format: {path}")
 
@@ -206,7 +208,7 @@ def cmd_make_cali_data(args):
     task = resolve_task(args)
     model, pipe = build_model_and_pipeline(task)
     params = (load_fp_params(args.ckpt, task, model) if args.ckpt
-              else model.init_params(jax.random.PRNGKey(0)))
+              else jax.jit(model.init_params)(jax.random.PRNGKey(0)))
     rng = jax.random.PRNGKey(args.seed)
     if task.family == "pixel":
         _, traj = pipe.sample(
@@ -258,7 +260,7 @@ def cmd_calibrate(args):
 
     model, pipe = build_model_and_pipeline(task, qflags, args.quant_act)
     params = (load_fp_params(args.ckpt, task, model) if args.ckpt
-              else model.init_params(jax.random.PRNGKey(0)))
+              else jax.jit(model.init_params)(jax.random.PRNGKey(0)))
 
     import jax.numpy as jnp
 
@@ -297,7 +299,7 @@ def cmd_convert(args):
     model, _ = build_model_and_pipeline(task)
     params = load_fp_params(args.ckpt, task, model)
     # validate tree structure against the model before persisting
-    like = model.init_params(jax.random.PRNGKey(0))
+    like = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
     jax.tree_util.tree_map(lambda a, b: None, like, params)
     save_pytree(args.out, params)
     print(f"converted {args.ckpt} -> {args.out}")
@@ -341,7 +343,7 @@ def build_engine(args, task):
         if args.qstate else None
     model, pipe = build_model_and_pipeline(task, qflags, args.quant_act)
     params = (load_fp_params(args.ckpt, task, model) if args.ckpt
-              else model.init_params(jax.random.PRNGKey(0)))
+              else jax.jit(model.init_params)(jax.random.PRNGKey(0)))
 
     qstate, mode, model_fn = None, None, None
     if args.qstate:
