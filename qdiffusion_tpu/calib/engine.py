@@ -47,6 +47,12 @@ class CalibConfig:
     act_init_batch: int = 64
     sm_abit: int = 8
     skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
+    # Checkpoint snapshot cadence (units). Snapshots pull the FULL qstate
+    # to host — with AdaRound alphas that is ~weight-sized (140MB for the
+    # CIFAR UNet), measured ~10 min for the first pull through the axon
+    # tunnel — so per-unit snapshots would dominate the calibration.
+    # Resume granularity coarsens to at most ckpt_every re-done units.
+    ckpt_every: int = 8
     # Grouped capture (calib/capture.py::GroupedCapture): shape-shared
     # capture programs over unit groups — ceil(N/G) compiles per mode
     # instead of 2N (the round-2 cold-calibration wall). Groups are packed
@@ -253,8 +259,11 @@ def calibrate(
                     act_quant=False, rng=sub, sm_abit=cfg.sm_abit,
                     cached_grads=grads)
                 if checkpointer is not None or not cfg.pipeline:
-                    jax.block_until_ready(
-                        qstate[unit.layer_names[0]]["w"]["delta"])
+                    # block on what the pass actually writes: weight recon
+                    # updates ALPHA (delta is untouched and already
+                    # materialized, so blocking on it measures nothing)
+                    st0 = qstate[unit.layer_names[0]]["w"]
+                    jax.block_until_ready(st0.get("alpha", st0["delta"]))
                     logger.info("[%d/%d] weight recon %-28s %.1fs "
                                 "(capture %.1fs)", k + 1, len(model.units),
                                 name, time.time() - t0, t_cap)
@@ -262,7 +271,8 @@ def calibrate(
                     logger.info("[%d/%d] weight recon %-28s dispatched "
                                 "(+%.1fs)", k + 1, len(model.units), name,
                                 time.time() - t0)
-                if checkpointer is not None:
+                if checkpointer is not None and \
+                        (k + 1) % cfg.ckpt_every == 0:
                     checkpointer.save(qstate, "weight", k)
             del fp
     if start_phase == "weight":
@@ -327,7 +337,7 @@ def calibrate(
                                       cached_grads=grads)
             logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
                         len(model.units), name, time.time() - t0)
-            if checkpointer is not None:
+            if checkpointer is not None and (k + 1) % cfg.ckpt_every == 0:
                 checkpointer.save(qstate, "act", k)
         del fp
 

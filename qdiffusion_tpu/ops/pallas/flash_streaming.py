@@ -114,7 +114,7 @@ def _p2_kernel(scal_ref, q_ref, k_ref, v_ref, m_ref, l_ref, o_ref, *,
 
 def _stream_core(scalars: Array, q: Array, k: Array, v: Array, *,
                  scale: float, sm_cfg, tile_q: int, block_k: int,
-                 interpret: bool) -> Array:
+                 interpret: bool, vmem_limit: int = 0) -> Array:
     """Per-shard body: (B, T, H, D)/(B, S, H, D) -> (B, T, H, D)."""
     B, T, H, D = q.shape
     S = k.shape[1]
@@ -145,6 +145,11 @@ def _stream_core(scalars: Array, q: Array, k: Array, v: Array, *,
     stat_spec = pl.BlockSpec((1, tile_q, 128), lambda b, i, j: (b, i, 0),
                              memory_space=pltpu.VMEM)
 
+    # vmem_limit: raise Mosaic's scoped-VMEM cap (v5e default ~16MB) so
+    # larger K/V blocks can double-buffer — the block_k>1024 experiment
+    # (docs/PERF_NOTES.md "Streaming flash reach")
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)
+               if vmem_limit else None)
     m_arr, l_arr = pl.pallas_call(
         functools.partial(_p1_kernel, scale=scale, s_valid=S,
                           block_k=block_k, bf16=bf16),
@@ -153,6 +158,7 @@ def _stream_core(scalars: Array, q: Array, k: Array, v: Array, *,
         out_specs=[stat_spec, stat_spec],
         out_shape=[jax.ShapeDtypeStruct((BH, Tp, 128), jnp.float32),
                    jax.ShapeDtypeStruct((BH, Tp, 128), jnp.float32)],
+        compiler_params=cparams,
         interpret=interpret,
     )(qf, kf)
 
@@ -168,6 +174,7 @@ def _stream_core(scalars: Array, q: Array, k: Array, v: Array, *,
         out_specs=pl.BlockSpec((1, tile_q, Dp), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((BH, Tp, Dp), jnp.float32),
+        compiler_params=cparams,
         interpret=interpret,
     )(scalars, qf, kf, vf, m_arr, l_arr)
     out = out.astype(in_dtype)[:, :T, :D].reshape(B, H, T, D)
@@ -176,7 +183,7 @@ def _stream_core(scalars: Array, q: Array, k: Array, v: Array, *,
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_stream(scale: float, sm_cfg, tile_q: int, block_k: int,
-                        interpret: bool):
+                        interpret: bool, vmem_limit: int = 0):
     """Same batch/head partitioning rule as the resident kernel
     (flash_attention.py::_partitioned_flash)."""
     from jax.experimental.custom_partitioning import custom_partitioning
@@ -185,7 +192,7 @@ def _partitioned_stream(scale: float, sm_cfg, tile_q: int, block_k: int,
     def impl(scalars, q, k, v):
         return _stream_core(scalars, q, k, v, scale=scale, sm_cfg=sm_cfg,
                             tile_q=tile_q, block_k=block_k,
-                            interpret=interpret)
+                            interpret=interpret, vmem_limit=vmem_limit)
 
     def bh_only(sharding, mesh):
         spec = getattr(sharding, "spec", None)
@@ -217,7 +224,7 @@ def streaming_flash_attention(
         sm_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
         v_q: Optional[Tuple[dict, AffineQuantizerSpec]] = None,
         tile_q: int = 128, block_k: int = 1024,
-        interpret: bool = False) -> Array:
+        interpret: bool = False, vmem_limit: int = 0) -> Array:
     """q: (B, T, H, D); k, v: (B, S, H, D) -> (B, T, H, D); any S.
 
     Same math as ops/attention.py::blockwise_attention (exact static-delta
@@ -238,7 +245,8 @@ def streaming_flash_attention(
     scalars = jnp.stack([sm_d, sm_z]).reshape(1, 2)
 
     block_k = min(block_k, _round_up(k.shape[1], 128))
-    fn = _partitioned_stream(scale, sm_cfg, tile_q, block_k, interpret)
+    fn = _partitioned_stream(scale, sm_cfg, tile_q, block_k, interpret,
+                             vmem_limit)
     return fn(scalars, q, k, v)
 
 

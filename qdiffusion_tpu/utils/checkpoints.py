@@ -95,8 +95,36 @@ def load_nested(path) -> dict:
     return tree
 
 
+def tree_to_host_packed(tree):
+    """Pull a pytree of device arrays to host numpy in ONE transfer per
+    dtype. Per-leaf np.asarray costs one round-trip per array on
+    remote-dispatch setups — a calibrated qstate has ~700 leaves, measured
+    ~10 minutes through the axon tunnel vs seconds for a packed pull."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves or all(isinstance(a, np.ndarray) for a in leaves):
+        return tree
+    by_dtype: dict = {}
+    for i, a in enumerate(leaves):
+        by_dtype.setdefault(jnp.result_type(a).name, []).append(i)
+    host_leaves: list = [None] * len(leaves)
+    for dt, idxs in by_dtype.items():
+        packed = np.asarray(jnp.concatenate(
+            [jnp.ravel(jnp.asarray(leaves[i])) for i in idxs]))
+        off = 0
+        for i in idxs:
+            shape = np.shape(leaves[i])
+            n = int(np.prod(shape)) if shape else 1
+            host_leaves[i] = packed[off:off + n].reshape(shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, host_leaves)
+
+
 def save_qstate(path, qstate: dict) -> None:
     """qstate: {site: {slot: {leaf: array}}} -> npz with '/'-joined keys."""
+    qstate = tree_to_host_packed(qstate)
     flat = {}
     for site, slots in qstate.items():
         for slot, st in slots.items():

@@ -1,0 +1,85 @@
+"""Resumable calibration: crash mid-pass, resume from the snapshot.
+
+Covers CalibCheckpointer + the engine's ckpt_every cadence (snapshots
+pull the full qstate to host — weight-sized with AdaRound alphas — so
+they are taken every `ckpt_every` units, not every unit). Reference
+behavior being replaced: mid-calibration temp checkpoints,
+txt2img.py:422-428."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qdiffusion_tpu.calib import engine as engine_mod
+from qdiffusion_tpu.calib.engine import CalibConfig, calibrate
+from qdiffusion_tpu.calib.recon import ReconConfig
+from qdiffusion_tpu.models.unet_ddim import DDIMUNet, DDIMUNetConfig, QuantPolicy
+from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
+from qdiffusion_tpu.utils.checkpoints import CalibCheckpointer
+
+TINY = DDIMUNetConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), resolution=16)
+
+
+def _setup():
+    policy = QuantPolicy(
+        wq=AffineQuantizerSpec(n_bits=8, channel_wise=True, channel_axis=-1,
+                               scale_method="max"),
+        aq=AffineQuantizerSpec(n_bits=8, scale_method="max", leaf_param=True))
+    model = DDIMUNet(TINY, policy)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+    ts = jnp.asarray(np.linspace(0, 99, 8).astype(np.float32))
+    cfg = CalibConfig(weight=ReconConfig(iters=4, batch_size=4),
+                      act=ReconConfig(iters=2, batch_size=4, lr=4e-4),
+                      quant_act=True, capture_batch=4, act_init_batch=8,
+                      ckpt_every=2)
+    return model, params, xs, ts, cfg
+
+
+def test_crash_and_resume(tmp_path, monkeypatch):
+    model, params, xs, ts, cfg = _setup()
+    n_units = len(model.units)
+    assert n_units >= 4
+
+    real_recon = engine_mod.reconstruct_unit
+    calls = {"n": 0}
+
+    def crashing(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 5:
+            raise RuntimeError("simulated crash")
+        return real_recon(*a, **kw)
+
+    ckptr = CalibCheckpointer(tmp_path)
+    monkeypatch.setattr(engine_mod, "reconstruct_unit", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        calibrate(model, params, (xs, ts), cfg, rng=jax.random.PRNGKey(1),
+                  checkpointer=ckptr)
+    # a snapshot exists at the ckpt_every cadence
+    assert (tmp_path / "qstate_wip.npz").exists()
+    assert (tmp_path / "calib_progress.json").exists()
+
+    monkeypatch.setattr(engine_mod, "reconstruct_unit", real_recon)
+    calls2 = {"n": 0}
+
+    def counting(*a, **kw):
+        calls2["n"] += 1
+        return real_recon(*a, **kw)
+
+    monkeypatch.setattr(engine_mod, "reconstruct_unit", counting)
+    qstate = calibrate(model, params, (xs, ts), cfg,
+                       rng=jax.random.PRNGKey(1), checkpointer=ckptr)
+    # resume skipped the snapshotted units (did fewer than a full 2-pass
+    # run would) but completed the rest
+    full_calls = 2 * n_units
+    assert calls2["n"] < full_calls
+    assert not (tmp_path / "calib_progress.json").exists()  # finalized
+    assert (tmp_path / "qstate.npz").exists()
+    # every unit ended reconstructed: alphas on weights, deltas on acts
+    for unit in model.units:
+        for ln in unit.layer_names:
+            assert "alpha" in qstate[ln]["w"], ln
+            assert "a" in qstate[ln], ln
