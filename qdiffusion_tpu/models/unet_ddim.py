@@ -242,15 +242,15 @@ class DDIMUNet(QuantModelBase):
         """ResnetBlock (reference diffusion.py:77-141). Dropout is identity
         at inference."""
         name = plan["name"]
-        h = nn.group_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
-        h = nn.swish(h)
+        h = nn.group_norm_swish(x, p["norm1"]["scale"], p["norm1"]["bias"],
+                                fused_ok=not ctx.differentiable)
         h = qconv2d(ctx, f"{name}.conv1", p["conv1"], h,
                     self._layer_cfgs[f"{name}.conv1"], padding=1)
         t = qdense(ctx, f"{name}.temb_proj", p["temb_proj"], nn.swish(temb),
                    self._layer_cfgs[f"{name}.temb_proj"])
         h = h + t[:, None, None, :]
-        h = nn.group_norm(h, p["norm2"]["scale"], p["norm2"]["bias"])
-        h = nn.swish(h)
+        h = nn.group_norm_swish(h, p["norm2"]["scale"], p["norm2"]["bias"],
+                                fused_ok=not ctx.differentiable)
         h = qconv2d(ctx, f"{name}.conv2", p["conv2"], h,
                     self._layer_cfgs[f"{name}.conv2"], padding=1)
         if plan["in_ch"] != plan["out_ch"]:
@@ -264,7 +264,8 @@ class DDIMUNet(QuantModelBase):
         q/k quantized before QK^T, softmax in fp32, post-softmax weights at
         sm_abit with v at act bits before AV."""
         name = plan["name"]
-        h = nn.group_norm(x, p["norm"]["scale"], p["norm"]["bias"])
+        h = nn.group_norm(x, p["norm"]["scale"], p["norm"]["bias"],
+                          fused_ok=not ctx.differentiable)
         q = qconv2d(ctx, f"{name}.q", p["q"], h,
                     self._layer_cfgs[f"{name}.q"], padding="VALID")
         k = qconv2d(ctx, f"{name}.k", p["k"], h,
@@ -340,8 +341,9 @@ class DDIMUNet(QuantModelBase):
                     nm = f"up.{i}.upsample.conv"
                     h = self._unit_call(ctx, nm, u[nm], h)
 
-        h = nn.group_norm(h, params["norm_out"]["scale"], params["norm_out"]["bias"])
-        h = nn.swish(h)
+        h = nn.group_norm_swish(h, params["norm_out"]["scale"],
+                                params["norm_out"]["bias"],
+                                fused_ok=not ctx.differentiable)
         h = self._unit_call(ctx, "conv_out", u["conv_out"], h)
         return h
 

@@ -386,9 +386,9 @@ class LDMUNet(QuantModelBase):
                   plan: dict) -> Array:
         name = plan["name"]
         sp = _sub(p, name)
-        h = nn.group_norm(x, sp["in_layers"]["0"]["scale"],
-                          sp["in_layers"]["0"]["bias"], eps=1e-5)
-        h = nn.swish(h)
+        h = nn.group_norm_swish(x, sp["in_layers"]["0"]["scale"],
+                                sp["in_layers"]["0"]["bias"], eps=1e-5,
+                                fused_ok=not ctx.differentiable)
         if plan["updown"] == "up":
             h = nn.upsample_nearest_2x(h)
             x = nn.upsample_nearest_2x(x)
@@ -403,14 +403,15 @@ class LDMUNet(QuantModelBase):
         if plan["scale_shift"]:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = nn.group_norm(h, sp["out_layers"]["0"]["scale"],
-                              sp["out_layers"]["0"]["bias"], eps=1e-5)
+                              sp["out_layers"]["0"]["bias"], eps=1e-5,
+                              fused_ok=not ctx.differentiable)
             h = h * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
             h = nn.swish(h)
         else:
             h = h + emb_out[:, None, None, :]
-            h = nn.group_norm(h, sp["out_layers"]["0"]["scale"],
-                              sp["out_layers"]["0"]["bias"], eps=1e-5)
-            h = nn.swish(h)
+            h = nn.group_norm_swish(h, sp["out_layers"]["0"]["scale"],
+                                    sp["out_layers"]["0"]["bias"], eps=1e-5,
+                                    fused_ok=not ctx.differentiable)
         h = qconv2d(ctx, f"{name}.out_layers.3", sp["out_layers"]["3"], h,
                     self._layer_cfgs[f"{name}.out_layers.3"], padding=1)
         if plan["skip"] == "identity":
@@ -449,7 +450,8 @@ class LDMUNet(QuantModelBase):
         ch = c // heads
         xt = x.reshape(b, hh * ww, c)
         sp = _sub(p, name)
-        h = nn.group_norm(xt, sp["norm"]["scale"], sp["norm"]["bias"], eps=1e-5)
+        h = nn.group_norm(xt, sp["norm"]["scale"], sp["norm"]["bias"], eps=1e-5,
+                          fused_ok=not ctx.differentiable)
         qkv = self._unit_call(ctx, f"{name}.qkv",
                               lambda h: self._attnblock_qkv(p, ctx, h, name), h) \
             if self.act_quant_partition else self._attnblock_qkv(p, ctx, h, name)
@@ -564,7 +566,8 @@ class LDMUNet(QuantModelBase):
         sp = _sub(p, name)
         b, hh, ww, c = x.shape
         x_in = x
-        h = nn.group_norm(x, sp["norm"]["scale"], sp["norm"]["bias"])
+        h = nn.group_norm(x, sp["norm"]["scale"], sp["norm"]["bias"],
+                          fused_ok=not ctx.differentiable)
         h = self._unit_call(
             ctx, f"{name}.proj_in",
             lambda h: qconv2d(ctx, f"{name}.proj_in", sp["proj_in"], h,
@@ -652,9 +655,9 @@ class LDMUNet(QuantModelBase):
         for entry in self.output_plan:
             h = jnp.concatenate([h, hs.pop()], axis=-1)
             h = self._apply_entry(params, ctx, entry, h, emb, context)
-        h = nn.group_norm(h, params["out"]["0"]["scale"],
-                          params["out"]["0"]["bias"], eps=1e-5)
-        h = nn.swish(h)
+        h = nn.group_norm_swish(h, params["out"]["0"]["scale"],
+                                params["out"]["0"]["bias"], eps=1e-5,
+                                fused_ok=not ctx.differentiable)
         return self._run_unit(params, ctx, "out.2", h)
 
     # ------------------------------------------------------------------

@@ -44,11 +44,11 @@ class VAEConfig:
 
 
 def _resnet(p: dict, x: Array) -> Array:
-    h = nn.group_norm(x, p["norm1"]["scale"], p["norm1"]["bias"])
-    h = nn.swish(h)
+    h = nn.group_norm_swish(x, p["norm1"]["scale"], p["norm1"]["bias"],
+                            fused_ok=True)
     h = nn.conv2d(h, p["conv1"]["w"], p["conv1"]["b"], padding=1)
-    h = nn.group_norm(h, p["norm2"]["scale"], p["norm2"]["bias"])
-    h = nn.swish(h)
+    h = nn.group_norm_swish(h, p["norm2"]["scale"], p["norm2"]["bias"],
+                            fused_ok=True)
     h = nn.conv2d(h, p["conv2"]["w"], p["conv2"]["b"], padding=1)
     if "nin_shortcut" in p:
         x = nn.conv2d(x, p["nin_shortcut"]["w"], p["nin_shortcut"]["b"],
@@ -70,7 +70,8 @@ _FLASH_TOKENS = 1024
 
 def _attn(p: dict, x: Array) -> Array:
     b, hh, ww, c = x.shape
-    h = nn.group_norm(x, p["norm"]["scale"], p["norm"]["bias"])
+    h = nn.group_norm(x, p["norm"]["scale"], p["norm"]["bias"],
+                      fused_ok=True)
     q = nn.conv2d(h, p["q"]["w"], p["q"]["b"], padding="VALID")
     k = nn.conv2d(h, p["k"]["w"], p["k"]["b"], padding="VALID")
     v = nn.conv2d(h, p["v"]["w"], p["v"]["b"], padding="VALID")
@@ -224,8 +225,8 @@ class VAE:
                     h = nn.conv2d(h, lvl["upsample"]["conv"]["w"],
                                   lvl["upsample"]["conv"]["b"], padding=1)
                 curr_res *= 2
-        h = nn.group_norm(h, p["norm_out"]["scale"], p["norm_out"]["bias"])
-        h = nn.swish(h)
+        h = nn.group_norm_swish(h, p["norm_out"]["scale"],
+                                p["norm_out"]["bias"], fused_ok=True)
         return nn.conv2d(h, p["conv_out"]["w"], p["conv_out"]["b"], padding=1)
 
     # -- encoder --------------------------------------------------------
@@ -255,8 +256,8 @@ class VAE:
         h = _resnet(p["mid"]["block_1"], h)
         h = _attn(p["mid"]["attn_1"], h)
         h = _resnet(p["mid"]["block_2"], h)
-        h = nn.group_norm(h, p["norm_out"]["scale"], p["norm_out"]["bias"])
-        h = nn.swish(h)
+        h = nn.group_norm_swish(h, p["norm_out"]["scale"],
+                                p["norm_out"]["bias"], fused_ok=True)
         h = nn.conv2d(h, p["conv_out"]["w"], p["conv_out"]["b"], padding=1)
         return nn.conv2d(h, params["quant_conv"]["w"],
                          params["quant_conv"]["b"], padding="VALID")

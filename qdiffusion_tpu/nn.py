@@ -67,27 +67,39 @@ def dense(x: Array, w: Array, b: Optional[Array] = None) -> Array:
     return y
 
 
-# Deployed engines flip this on (deploy.py / bench) to route group_norm
-# through the single-pass Pallas kernel; default off so parity tests and
-# CPU runs take the reference-faithful XLA path.
-FUSED_GROUPNORM = False
+# Master switch for the single-pass Pallas GroupNorm kernel. The kernel
+# defines no VJP, so callers must additionally pass fused_ok=True only on
+# non-differentiated forwards (models pass `not ctx.differentiable`, the
+# same gate the flash-attention dispatch uses).
+FUSED_GROUPNORM = True
+
+# Below this channel width XLA's own GroupNorm lowering wins (measured:
+# CIFAR C=128 slab 0.121 ms XLA vs 0.138 ms Pallas; SD C>=320 sites are
+# 1.064x faster fused at step level — docs/PERF_NOTES.md round 3).
+_FUSED_GN_MIN_C = 256
+
+
+def _fused_gn_ok(x: Array, num_groups: int, fused_ok: bool) -> bool:
+    if not (fused_ok and FUSED_GROUPNORM) or x.shape[-1] < _FUSED_GN_MIN_C:
+        return False
+    from qdiffusion_tpu.ops.pallas.groupnorm import group_norm_supported
+
+    return group_norm_supported(x.shape, num_groups, x.dtype.itemsize)
 
 
 def group_norm(x: Array, scale: Array, bias: Array, *, num_groups: int = 32,
-               eps: float = 1e-6) -> Array:
+               eps: float = 1e-6, fused_ok: bool = False) -> Array:
     """GroupNorm over NHWC (or N...C) in fp32.
 
     The reference keeps norms in fp32 even under half precision
     (GroupNorm32, ldm util.py:214-216); we do the same to avoid FID drift
     under bf16.
     """
-    if FUSED_GROUPNORM:
-        from qdiffusion_tpu.ops.pallas.groupnorm import (
-            fused_group_norm, group_norm_supported)
+    if _fused_gn_ok(x, num_groups, fused_ok):
+        from qdiffusion_tpu.ops.pallas.groupnorm import fused_group_norm
 
-        if group_norm_supported(x.shape, num_groups):
-            return fused_group_norm(x, scale, bias, num_groups=num_groups,
-                                    eps=eps)
+        return fused_group_norm(x, scale, bias, num_groups=num_groups,
+                                eps=eps)
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     c = x.shape[-1]
@@ -109,6 +121,21 @@ def layer_norm(x: Array, scale: Array, bias: Array, *, eps: float = 1e-5) -> Arr
     var = jnp.var(x, axis=-1, keepdims=True)
     x = (x - mean) * jax.lax.rsqrt(var + eps)
     return (x * scale + bias).astype(orig_dtype)
+
+
+def group_norm_swish(x: Array, scale: Array, bias: Array, *,
+                     num_groups: int = 32, eps: float = 1e-6,
+                     fused_ok: bool = False) -> Array:
+    """swish(group_norm(x)) — the UNet ResBlock's norm+activation pair.
+
+    The swish deliberately stays OUTSIDE the Pallas kernel: measured at
+    SD step level the in-kernel swish epilogue is ~0.5 ms SLOWER (74.26
+    vs 73.70 ms) — the external swish is free (XLA fuses it into the
+    following conv's input read) while in-kernel it is extra VPU work on
+    the write path (docs/PERF_NOTES.md round 3).
+    """
+    return swish(group_norm(x, scale, bias, num_groups=num_groups, eps=eps,
+                            fused_ok=fused_ok))
 
 
 def swish(x: Array) -> Array:
