@@ -427,6 +427,18 @@ def cmd_sample(args):
     idx = 0
     tput = Throughput()
     all_images = [] if args.npz_out else None
+    safety = None
+    if getattr(args, "safety_ckpt", None):
+        # reference txt2img.py:29-37,96-102 (its call site is commented
+        # out at :558; here it is an opt-in flag)
+        from qdiffusion_tpu.models.safety import (
+            SafetyChecker, config_from_sd, convert_safety_checker)
+        from qdiffusion_tpu.utils.checkpoints import load_torch_checkpoint
+
+        ssd = load_torch_checkpoint(Path(args.safety_ckpt))
+        checker = SafetyChecker(config_from_sd(ssd))
+        safety_params = convert_safety_checker(ssd)
+        safety = jax.jit(checker.apply)
     while idx < args.n:
         n = min(batch, args.n - idx)
         rng, sub = jax.random.split(rng)
@@ -462,6 +474,11 @@ def cmd_sample(args):
                 else task.sampler.guidance_scale,
                 qstate=qstate, mode=mode, model_fn=model_fn)
         tput.log(n)
+        if safety is not None:
+            imgs, nsfw = safety(safety_params, imgs)
+            n_flag = int(np.asarray(nsfw).sum())
+            if n_flag:
+                print(f"safety: blacked out {n_flag}/{n} flagged image(s)")
         if getattr(args, "watermark", None):
             # invisible watermark on every output, reference
             # txt2img.py:493-495 + :560-584 (in-repo encoder, no cv2 dep)
@@ -731,6 +748,10 @@ def main(argv=None):
     sp.add_argument("--watermark",
                     help="invisible-watermark payload stamped on every "
                          "output image (reference txt2img.py:493-495)")
+    sp.add_argument("--safety-ckpt",
+                    help="safety-checker weights (torch .ckpt/.pt state_dict "
+                         "or converted npz pytree); flagged images are "
+                         "blacked out (reference txt2img.py:96-102)")
     sp.add_argument("--dp", action="store_true",
                     help="shard the sampling batch over all devices")
     sp.add_argument("--mesh",
