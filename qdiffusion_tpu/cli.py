@@ -734,7 +734,8 @@ def main(argv=None):
                     choices=["sim", "fold", "int8", "stream"])
     sp.add_argument("--stream-convs", action="store_true",
                     help="stream engine: keep conv weights int8/int4 in "
-                         "HBM via the Pallas patch-matmul kernels "
+                         "HBM via the Pallas patch-matmul kernels; a "
+                         "per-site byte cost model picks stream vs fold "
                          "(batch-1 serving)")
     sp.add_argument("--sampler")
     sp.add_argument("--n", type=int, default=64)

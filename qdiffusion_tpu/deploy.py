@@ -360,7 +360,7 @@ def make_quantized_step(model, params: dict, qstate: dict,
                         engine: str = "int8",
                         has_context: bool = False,
                         carrier_dtype=jnp.bfloat16,
-                        stream_convs: bool = False) -> Callable:
+                        stream_convs=False) -> Callable:
     """Jitted quantized denoise step (x, t[, context]) -> eps.
 
     carrier_dtype: inter-layer activation dtype for the int8 engine
@@ -381,18 +381,22 @@ def make_quantized_step(model, params: dict, qstate: dict,
     if engine == "stream":
         # weight-only like 'fold', but dense weights stay int8 in HBM
         # (half the weight bandwidth; wins on weight-bound small-batch
-        # shapes). stream_convs=True additionally streams conv weights
-        # through the Pallas patch-matmul kernels (qlayers._stream_conv2d)
-        # — the batch-1 serving configuration; at large batch convs are
-        # compute-bound and folded bf16 convs are the right call.
+        # shapes). stream_convs=True additionally packs conv weights for
+        # the Pallas patch-matmul kernels (qlayers._stream_conv2d); each
+        # conv site then streams only if the trace-time byte cost model
+        # says the weight-bandwidth saving beats the patch overhead
+        # (qlayers._stream_conv_profitable) — pass stream_convs="all" to
+        # force every conv onto the streaming kernel (bench use).
         spacked = stream_pack_model(model, params, qstate,
                                     dense_only=not stream_convs)
         sfolded = fold_weights(model, params, qstate)
         smode = QuantMode(w=False, a=False)
+        conv_mode = "all" if stream_convs == "all" else "auto"
 
         @jax.jit
         def _stream_step(p, pk, x, t, *ctx_args):
-            ctx = QuantCtx(None, mode=smode, engine="stream", packed=pk)
+            ctx = QuantCtx(None, mode=smode, engine="stream", packed=pk,
+                           conv_stream=conv_mode)
             if ctx_args:
                 return model.apply(p, x, t, ctx, context=ctx_args[0])
             return model.apply(p, x, t, ctx)

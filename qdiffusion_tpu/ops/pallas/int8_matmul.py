@@ -260,7 +260,9 @@ def int8_dense_stream(x: Array, w_c: Array, scale: Array, shift: Array,
     xm = x.reshape(-1, K)
     M = xm.shape[0]
     tile_m = 128 if M >= 128 else _round_up(max(M, 1), 16)
-    tile_k = 512 if K % 512 == 0 else 256 if K % 256 == 0 else 128
+    # largest lane-aligned divisor of K <= 512 (384 covers the 9*128
+    # patch-K of 3x3 convs over 128-multiple channel counts)
+    tile_k = next((tk for tk in (512, 384, 256, 128) if K % tk == 0), 128)
     # full-N tiles when VMEM allows: w int8 (x2 double-buffer) + bf16
     # convert + acc f32 + out; dominated by tile_k*tile_n and tile_m*tile_n
     budget = 14 * 2**20

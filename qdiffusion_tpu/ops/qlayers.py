@@ -134,6 +134,45 @@ def _stream_seg_matmul(seg, flat: Array, bias, interpret: bool) -> Array:
                              interpret=interpret)
 
 
+#: HBM-byte-equivalent fixed cost charged per streamed conv call (kernel
+#: dispatch + grid overheads); calibrated so CIFAR-scale convs (where the
+#: measured all-streamed step was 0.4x bf16) fall back to the folded path.
+_STREAM_CONV_OVERHEAD_BYTES = 1 << 20
+
+
+def _stream_conv_profitable(packed: dict, x: Array, *, stride) -> bool:
+    """Trace-time byte cost model for conv weight streaming.
+
+    Streaming pays only where the per-step weight-bandwidth saving
+    (bf16 -> int8/int4 resident weights) exceeds the cost the streaming
+    path adds: materializing kh*kw-amplified patches in HBM (write+read,
+    bf16) plus a fixed per-kernel overhead. SD's low-resolution/high-
+    channel convs and large 1x1 projections qualify at serving batch
+    sizes; CIFAR-scale convs never do (measured 0.4x when forced —
+    docs/PERF_NOTES.md 'Streamed convolutions')."""
+    kh, kw = packed["kshape"].value
+    k_total = n_out = 0
+    w_int_bytes = 0
+    for seg in packed["segs"]:
+        if "wp" in seg:  # nibble-packed int4: K/2 bytes per column
+            k_seg = 2 * seg["wp"].shape[0]
+            n_out = seg["wp"].shape[1]
+            w_int_bytes += seg["wp"].size
+        else:
+            k_seg, n_out = seg["w_c"].shape
+            w_int_bytes += seg["w_c"].size
+        k_total += k_seg
+    w_bf16_bytes = 2 * k_total * n_out
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    b, h, w_sp = x.shape[0], x.shape[1], x.shape[2]
+    m = b * -(-h // stride[0]) * -(-w_sp // stride[1])
+    patch_bytes = 0 if (kh, kw) == (1, 1) and stride == (1, 1) \
+        else 4 * m * k_total  # bf16 patch write + read
+    return (w_bf16_bytes - w_int_bytes
+            > patch_bytes + _STREAM_CONV_OVERHEAD_BYTES)
+
+
 def _stream_conv2d(packed: dict, x: Array, *, stride=1,
                    padding="SAME") -> Array:
     """Conv2d with int8/int4 weights resident in HBM: XLA patch extraction
@@ -177,11 +216,13 @@ def qconv2d(ctx: QuantCtx, name: str, p: dict, x: Array, cfg: LayerQuantConfig,
         return int8_conv2d(x, ctx.packed[name], stride=stride, padding=padding)
     if ctx.engine == "stream" and name in ctx.packed:
         pk = ctx.packed[name]
-        if "kshape" in pk and feature_group_count == 1:
+        if "kshape" in pk and feature_group_count == 1 and (
+                ctx.conv_stream == "all"
+                or _stream_conv_profitable(pk, x, stride=stride)):
             return _stream_conv2d(pk, x, stride=stride, padding=padding)
-        return nn.conv2d(x, _stream_dequant(pk, 2, x.dtype), pk.get("bias"),
-                         stride=stride, padding=padding,
-                         feature_group_count=feature_group_count)
+        # cost model says fold (or grouped conv): params on the stream
+        # engine are the folded tree (deploy.make_quantized_step), so the
+        # plain conv below IS the folded bf16 path — fall through.
     x = _quant_input(ctx, name, x, cfg)
     w = _quant_weight(ctx, name, p["w"], cfg, in_axis=2)
     return nn.conv2d(x, w, p.get("b"), stride=stride, padding=padding,

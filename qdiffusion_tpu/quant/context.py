@@ -60,7 +60,8 @@ class QuantCtx:
                  collect: Optional[str] = None, capture: Optional[str] = None,
                  engine: str = "sim", packed: Optional[dict] = None,
                  substitute: Optional[dict] = None,
-                 differentiable: bool = False):
+                 differentiable: bool = False,
+                 conv_stream: str = "auto"):
         self.qstate: dict = qstate or {}
         self.mode = mode
         self.collect = collect
@@ -79,6 +80,11 @@ class QuantCtx:
         # to simulation.
         self.engine = engine
         self.packed: dict = packed or {}
+        # conv_stream: 'auto' streams a packed conv only when the trace-time
+        # byte cost model says the weight-bandwidth saving beats the patch
+        # materialization (ops/qlayers.py::_stream_conv_profitable); 'all'
+        # forces every packed conv through the streaming kernel (bench use).
+        self.conv_stream = conv_stream
         # differentiable=True: this forward sits under jax.grad (block/act
         # reconstruction, Fisher capture) — models must keep to
         # differentiable ops (the Pallas flash-attention kernel defines no

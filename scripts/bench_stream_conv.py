@@ -104,7 +104,7 @@ def bench_batch(B):
         key = f"sconv{wbits}"
         if key in tags:
             step = make_quantized_step(model, params, qstate, engine="stream",
-                                       stream_convs=True)
+                                       stream_convs="all")
             runners[key] = make_runner(
                 lambda x, s=step: s(x.astype(jnp.bfloat16), t).astype(
                     jnp.float32), x, f"b{B} stream-convs w{wbits}")

@@ -109,9 +109,11 @@ def test_stream_cli(tmp_path, monkeypatch):
 
 @pytest.mark.parametrize("cfg,wbits", [(TINY, 8), (TINY_SPLIT, 4)])
 def test_stream_convs_matches_fold(cfg, wbits):
-    """stream_convs=True: conv weights resident in HBM, served by the
+    """stream_convs="all": conv weights resident in HBM, served by the
     Pallas patch-matmul kernels (qlayers._stream_conv2d) — full-model
-    parity vs the fold engine (same integer grid, bf16 carrier)."""
+    parity vs the fold engine (same integer grid, bf16 carrier). "all"
+    forces the kernel path: under "auto" the byte cost model would fold
+    every conv at this tiny scale (qlayers._stream_conv_profitable)."""
     policy = QuantPolicy(wq=AffineQuantizerSpec(
         n_bits=wbits, channel_wise=True, channel_axis=-1, scale_method="max"))
     model = DDIMUNet(cfg, policy)
@@ -123,11 +125,57 @@ def test_stream_convs_matches_fold(cfg, wbits):
 
     fold_step = make_quantized_step(model, params, qstate, engine="fold")
     conv_step = make_quantized_step(model, params, qstate, engine="stream",
-                                    stream_convs=True)
+                                    stream_convs="all")
     y_fold = np.asarray(fold_step(x, t), np.float32)
     y_conv = np.asarray(conv_step(x, t), np.float32)
     rel = np.linalg.norm(y_conv - y_fold) / np.linalg.norm(y_fold)
     assert rel < 2e-2, rel
+
+
+def test_stream_conv_cost_model():
+    """_stream_conv_profitable: folds CIFAR-scale convs (patch traffic +
+    overhead swamp the small weight, measured 0.4x when forced), streams
+    SD-deep-scale convs (1280ch at 8x8: 29.5 MB bf16 weight vs ~6 MB
+    patches) and large 1x1 projections (no patch materialization)."""
+    from qdiffusion_tpu.deploy import stream_pack_model
+    from qdiffusion_tpu.models.base import LayerQuantConfig
+    from qdiffusion_tpu.ops.qlayers import _stream_conv_profitable
+
+    def pack_one(kh, kw, ci, co, n_bits=8):
+        spec = AffineQuantizerSpec(n_bits=n_bits, channel_wise=True,
+                                   channel_axis=-1, scale_method="max")
+
+        class _M:
+            layer_cfgs = {"c": LayerQuantConfig(wq=spec, aq=spec, in_axis=2)}
+
+            @staticmethod
+            def layer_cfg(name):
+                return _M.layer_cfgs[name]
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (kh, kw, ci, co)) * 0.1
+        params = {"c": {"w": w}}
+        qstate = init_weight_qstate(_M, params)
+        return stream_pack_model(_M, params, qstate, dense_only=False)["c"]
+
+    # CIFAR conv: 3x3 128->128 at 32x32 b8 — patches 9x the weight: fold
+    cifar = pack_one(3, 3, 128, 128)
+    x32 = jnp.zeros((8, 32, 32, 128))
+    assert not _stream_conv_profitable(cifar, x32, stride=1)
+    # SD deep conv: 3x3 1280->1280 at 8x8 b2 — weight-bound: stream
+    deep = pack_one(3, 3, 1280, 1280)
+    x8 = jnp.zeros((2, 8, 8, 1280))
+    assert _stream_conv_profitable(deep, x8, stride=1)
+    # large 1x1 (skip projection 2560->1280): no patch cost at 16x16 b2
+    proj = pack_one(1, 1, 2560, 1280)
+    x16 = jnp.zeros((2, 16, 16, 2560))
+    assert _stream_conv_profitable(proj, x16, stride=1)
+    # same 1x1 weight but int4: still streams (saving grows)
+    proj4 = pack_one(1, 1, 2560, 1280, n_bits=4)
+    assert _stream_conv_profitable(proj4, x16, stride=1)
+    # small 1x1 at high res: weight too small to cover overhead
+    small = pack_one(1, 1, 320, 320)
+    x64 = jnp.zeros((2, 64, 64, 320))
+    assert not _stream_conv_profitable(small, x64, stride=1)
 
 
 @pytest.mark.parametrize("wbits", [8, 4])
