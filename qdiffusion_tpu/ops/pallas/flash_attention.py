@@ -37,20 +37,23 @@ _VMEM_BUDGET = 15 * 1024 * 1024  # of the 16MB scoped-vmem limit on v5e
 
 
 def _pick_tile_q(S: int, Dp: int, itemsize: int) -> Optional[int]:
-    """Largest q-tile fitting the scoped-VMEM limit; None when even tile
+    """Fastest q-tile fitting the scoped-VMEM limit; None when even tile
     32 does not (the caller then falls back to the streaming XLA blockwise
     path). Cost model measured against the Mosaic allocator (v5e, 16MB
-    scoped vmem): TWO f32 score-tile copies live simultaneously (s and
-    exp(s-m)) and K/V are DOUBLE-BUFFERED by the pipeline even though
-    their index map is constant across the q-tile grid dimension — a
-    16k/tile-32 kernel allocates 16.03MB (2*2MB scores + 2*(4+4)MB K/V),
-    just over the limit. Shrinking the tile trades MXU M-efficiency for
-    reach: the resident-K/V scheme carries 8k-token sequences; 16k+
-    (1024^2-image latents) needs K/V streaming and falls back to the XLA
-    blockwise path."""
+    scoped vmem, round-3 sweep scripts/bench_flash_tileq.py): ONE f32
+    score-tile copy is live (Mosaic reuses s for exp(s-m) — tile 512 at
+    S=4096 is 8.4MB of scores and compiles; 1024 is 16.8MB and fails) and
+    K/V are DOUBLE-BUFFERED by the pipeline even though their index map is
+    constant across the q-tile grid dimension. Tile preference is measured,
+    not monotone: per-program overhead favors big tiles at long S (512 at
+    S=4096: 6.00 vs 8.53 ms for 128 at the SD CFG shape) but the biggest
+    tile loses below 2k keys (S=1024: 256 beats both 128 and 512); 16k+
+    keys (1024^2-image latents) exceed VMEM for every tile and fall back
+    to the streaming path."""
     kv = 2 * S * Dp * itemsize
-    for tq in (128, 64, 32):
-        if 2 * tq * S * 4 + 2 * kv <= _VMEM_BUDGET:
+    prefs = (512, 256, 128, 64, 32) if S >= 2048 else (256, 128, 64, 32)
+    for tq in prefs:
+        if tq * S * 4 + 2 * kv <= _VMEM_BUDGET:
             return tq
     return None
 
@@ -247,6 +250,10 @@ def flash_attention(q: Array, k: Array, v: Array, *, scale: float,
     if tile_q is None:
         tile_q = _pick_tile_q(_round_up(S, 128), _round_up(D, 128),
                               in_dtype.itemsize)
+        if tile_q is not None:
+            # don't pad short query sets up to a big tile (cross-shaped
+            # calls where T < S): cap at T rounded to the 128-row MXU tile
+            tile_q = min(tile_q, max(128, _round_up(q.shape[1], 128)))
         if tile_q is None:
             # no silent 128-tile fallback: a tile that doesn't fit the
             # scoped-VMEM cost model fails in Mosaic, not here — callers

@@ -12,6 +12,7 @@ Usage: python scripts/throughput_headline.py [cifar10|lsun_beds256|
                                               lsun_churches256|sd_v1|all]
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -21,6 +22,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("QDT_COMPILE_CACHE"):
+    # jax is pre-imported by sitecustomize, so JAX_* env vars are dead —
+    # but config updates still work (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["QDT_COMPILE_CACHE"])
 
 from qdiffusion_tpu.cli import build_model_and_pipeline
 from qdiffusion_tpu.config import PRESETS
