@@ -375,6 +375,16 @@ def build_engine(args, task):
     return model, pipe, params, qstate, mode, model_fn
 
 
+def _cast_float_tree(tree, dtype):
+    """Cast floating leaves (params/VAE) to the deployment dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
+
 def cmd_sample(args):
     import jax
     import jax.numpy as jnp
@@ -384,6 +394,14 @@ def cmd_sample(args):
 
     task = resolve_task(args)
     model, pipe, params, qstate, mode, model_fn = build_engine(args, task)
+    # --dtype bfloat16: full-bf16 deployment — params cast here, VAE below;
+    # make_generate_fn then picks the bf16 evaluation carrier (the f32
+    # scheduler math stays f32 inside the samplers). Engines with their own
+    # jitted closure (int8/stream) manage carriers internally.
+    bf16 = getattr(args, "dtype", "float32") == "bfloat16" \
+        and model_fn is None
+    if bf16:
+        params = _cast_float_tree(params, jnp.bfloat16)
 
     cond, uncond = build_conditioning(args, task, pipe) \
         if task.family == "sd" else (None, None)
@@ -409,6 +427,8 @@ def cmd_sample(args):
 
     vae_params = load_vae_params(args, task) \
         if task.family != "pixel" else None
+    if bf16 and vae_params is not None:
+        vae_params = _cast_float_tree(vae_params, jnp.bfloat16)
     # one jitted program per batch shape with the param trees as jit
     # ARGUMENTS — the eager pipe.sample path re-traces the sampler scan on
     # the host every batch (measured ~20 s/batch overhead on the remote
@@ -521,6 +541,12 @@ def cmd_serve(args):
     model, pipe, params, qstate, mode, model_fn = build_engine(args, task)
     vae_params = load_vae_params(args, task) if task.family != "pixel" \
         else None
+    if getattr(args, "dtype", "float32") == "bfloat16" and model_fn is None:
+        import jax.numpy as jnp
+
+        params = _cast_float_tree(params, jnp.bfloat16)
+        if vae_params is not None:
+            vae_params = _cast_float_tree(vae_params, jnp.bfloat16)
 
     encode_cond = None
     uncond = None
@@ -737,6 +763,12 @@ def main(argv=None):
                          "HBM via the Pallas patch-matmul kernels; a "
                          "per-site byte cost model picks stream vs fold "
                          "(batch-1 serving)")
+    sp.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="deployment dtype for sim/fold engines: bfloat16 "
+                         "casts params+VAE and runs the UNet/decoder with "
+                         "a bf16 carrier (2x MXU rate; scheduler math "
+                         "stays f32)")
     sp.add_argument("--sampler")
     sp.add_argument("--n", type=int, default=64)
     sp.add_argument("--batch", type=int, default=64)
@@ -774,6 +806,10 @@ def main(argv=None):
     sp.add_argument("--stream-convs", action="store_true",
                     help="stream engine: conv weights resident in HBM "
                          "(Pallas patch-matmul)")
+    sp.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="deployment dtype for sim/fold engines (see "
+                         "sample --dtype)")
     sp.add_argument("--sampler")
     sp.add_argument("--timesteps", type=int)
     sp.add_argument("--host", default="127.0.0.1")

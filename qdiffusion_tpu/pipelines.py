@@ -53,7 +53,8 @@ class PixelDiffusionPipeline:
                mode: Optional[QuantMode] = None,
                model_fn: Optional[Callable] = None,
                return_trajectory: bool = False,
-               x_init: Optional[jax.Array] = None):
+               x_init: Optional[jax.Array] = None,
+               eval_dtype=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, sub = jax.random.split(rng)
         # x_init lets callers supply the initial noise (e.g. the serving
@@ -65,17 +66,20 @@ class PixelDiffusionPipeline:
             seq = make_skip_sequence(self.schedule.num_timesteps, timesteps,
                                     skip_type)
             return ddim_sample(fn, x, seq, self.schedule.betas, eta=eta,
-                               rng=rng, return_trajectory=return_trajectory)
+                               rng=rng, return_trajectory=return_trajectory,
+                               eval_dtype=eval_dtype)
         if sample_type == "ddpm_noisy":
             seq = make_skip_sequence(self.schedule.num_timesteps, timesteps,
                                     skip_type)
             return ddpm_sample(fn, x, seq, self.schedule.betas, rng=rng,
-                               return_trajectory=return_trajectory)
+                               return_trajectory=return_trajectory,
+                               eval_dtype=eval_dtype)
         if sample_type == "dpm_solver":
             ns = NoiseScheduleVP("discrete", betas=self.schedule.betas)
             out = dpm_solver_sample(fn, x, ns, steps=timesteps, order=3,
                                     skip_type="time_uniform",
-                                    method="singlestep")
+                                    method="singlestep",
+                                    eval_dtype=eval_dtype)
             return out, None
         raise NotImplementedError(sample_type)
 
@@ -144,7 +148,8 @@ class LatentDiffusionPipeline:
                model_fn: Optional[Callable] = None,
                decode: bool = True,
                return_trajectory: bool = False,
-               x_init: Optional[jax.Array] = None):
+               x_init: Optional[jax.Array] = None,
+               eval_dtype=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         rng, sub = jax.random.split(rng)
         x = x_init if x_init is not None else jax.random.normal(
@@ -156,18 +161,21 @@ class LatentDiffusionPipeline:
             z, traj = ddim_sample_ldm(fn, x, tables, cond=cond, uncond=uncond,
                                       guidance_scale=guidance_scale,
                                       eta_noise=eta > 0, rng=rng,
-                                      return_trajectory=return_trajectory)
+                                      return_trajectory=return_trajectory,
+                                      eval_dtype=eval_dtype)
         elif sampler == "plms":
             tables = DDIMTables.build(ac, steps, 0.0)
             z, traj = plms_sample(fn, x, tables, cond=cond, uncond=uncond,
                                   guidance_scale=guidance_scale, rng=rng,
-                                  return_trajectory=return_trajectory)
+                                  return_trajectory=return_trajectory,
+                                  eval_dtype=eval_dtype)
         elif sampler == "dpm_solver":
             ns = NoiseScheduleVP("discrete", betas=self.schedule.betas)
             z = dpm_solver_sample(fn, x, ns, steps=steps, order=2,
                                   method="multistep", cond=cond,
                                   uncond=uncond,
-                                  guidance_scale=guidance_scale)
+                                  guidance_scale=guidance_scale,
+                                  eval_dtype=eval_dtype)
             traj = None
         else:
             raise NotImplementedError(sampler)
@@ -179,5 +187,10 @@ class LatentDiffusionPipeline:
             traj["ucs"] = jnp.broadcast_to(uncond[None], (S, *uncond.shape))
         if not decode:
             return z, traj
-        img = self.decode_first_stage(vae_params, z)
+        # bf16 deployment: decode in the carrier too (f32 latents against
+        # bf16 VAE params would upcast the whole decoder); clip back in f32
+        zin = z if eval_dtype is None else z.astype(eval_dtype)
+        img = self.decode_first_stage(vae_params, zin)
+        if eval_dtype is not None:
+            img = img.astype(jnp.float32)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0), traj

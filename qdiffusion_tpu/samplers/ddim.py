@@ -45,23 +45,34 @@ def ddim_sample(
     eta: float = 0.0,
     rng: Optional[jax.Array] = None,
     return_trajectory: bool = False,
+    eval_dtype=None,
 ) -> Tuple[Array, Optional[dict]]:
     """Generalized DDIM sampling (reference generalized_steps).
 
     x: NHWC noise; seq: increasing timestep subsequence. Returns the final
     sample and, optionally, the stacked model-input trajectory
     {"xs": [S,B,H,W,C], "ts": [S,B]} in execution order.
+
+    eval_dtype: model-evaluation carrier dtype (bf16 deployment). The
+    scheduler update math and scan carry stay f32 (the f32 step tables
+    promote the carry regardless of x's dtype); only the UNet input is
+    cast down and its eps cast back — without this every deployed model
+    call after step 1 runs with f32 activations against bf16 params at
+    half MXU rate. None (default) = reference-parity single-dtype flow.
     """
     ts, at, at_next = _alpha_tables(np.asarray(betas, np.float64), seq)
     n = x.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if eval_dtype is not None:
+        x = x.astype(jnp.float32)  # f32 scan carry, stable across steps
 
     def step(carry, inp):
         xt, key = carry
         t, a, a_next = inp
         tb = jnp.full((n,), t, dtype=jnp.float32)
-        et = model_fn(xt, tb)
+        et = (model_fn(xt, tb) if eval_dtype is None else
+              model_fn(xt.astype(eval_dtype), tb).astype(xt.dtype))
         x0_t = (xt - et * jnp.sqrt(1.0 - a)) / jnp.sqrt(a)
         c1 = eta * jnp.sqrt((1.0 - a / a_next) * (1.0 - a_next) / (1.0 - a))
         c2 = jnp.sqrt((1.0 - a_next) - c1**2)
@@ -86,19 +97,25 @@ def ddpm_sample(
     *,
     rng: Optional[jax.Array] = None,
     return_trajectory: bool = False,
+    eval_dtype=None,
 ) -> Tuple[Array, Optional[dict]]:
-    """Ancestral DDPM sampling (reference ddpm_steps, denoising.py:35-67)."""
+    """Ancestral DDPM sampling (reference ddpm_steps, denoising.py:35-67).
+
+    eval_dtype: see ddim_sample."""
     ts, at, atm1 = _alpha_tables(np.asarray(betas, np.float64), seq)
     n = x.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if eval_dtype is not None:
+        x = x.astype(jnp.float32)
 
     def step(carry, inp):
         xt, key = carry
         t, a, am1 = inp
         beta_t = 1.0 - a / am1
         tb = jnp.full((n,), t, dtype=jnp.float32)
-        e = model_fn(xt, tb)
+        e = (model_fn(xt, tb) if eval_dtype is None else
+             model_fn(xt.astype(eval_dtype), tb).astype(xt.dtype))
         x0 = jnp.sqrt(1.0 / a) * xt - jnp.sqrt(1.0 / a - 1.0) * e
         x0 = jnp.clip(x0, -1.0, 1.0)
         mean = (

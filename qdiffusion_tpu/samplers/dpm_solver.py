@@ -651,9 +651,14 @@ def dpm_solver_sample(
     classifier_scale: float = 1.0,
     atol: float = 0.0078,
     rtol: float = 0.05,
+    eval_dtype=None,
 ) -> Array:
     """Sample with DPM-Solver(++). model_fn(x, t[, context]) -> model output
     in the `model_type` parameterization ('noise'/'x_start'/'v'/'score').
+
+    eval_dtype: model-evaluation carrier dtype (bf16 deployment) — solver
+    math stays f32, only the model input/output are cast (see
+    samplers/ddim.py::ddim_sample). None = single-dtype flow.
 
     Reproduces reference DPM_Solver.sample (dpm_solver_pytorch.py:1055-1259)
     for method in {'singlestep', 'singlestep_fixed', 'multistep',
@@ -670,6 +675,11 @@ def dpm_solver_sample(
         base_fn = model_fn
     else:
         base_fn = lambda x, t, c=None: model_fn(x, t)
+    if eval_dtype is not None:
+        x = x.astype(jnp.float32)  # f32 solver carry
+        inner_fn = base_fn
+        base_fn = lambda xx, tt, c=None: inner_fn(
+            xx.astype(eval_dtype), tt, c).astype(xx.dtype)
     eps_fn = make_cfg_eps_fn(base_fn, cond, uncond, guidance_scale)
     grad_fn = None
     if classifier_fn is not None:

@@ -90,11 +90,20 @@ def ddim_sample_ldm(
     eta_noise: bool = True,
     rng: Optional[jax.Array] = None,
     return_trajectory: bool = False,
+    eval_dtype=None,
 ):
-    """LDM DDIM sampling loop (reference ddim_sampling, ddim.py:116-167)."""
+    """LDM DDIM sampling loop (reference ddim_sampling, ddim.py:116-167).
+
+    eval_dtype: model-evaluation carrier (bf16 deployment) — the f32 step
+    tables promote the scan carry to f32, so without the cast every model
+    call after step 1 runs f32 activations against bf16 params at half
+    MXU rate. Scheduler math stays f32; None = reference-parity flow
+    (see samplers/ddim.py::ddim_sample)."""
     S = len(tables.timesteps)
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if eval_dtype is not None:
+        x = x.astype(jnp.float32)  # f32 scan carry, stable across steps
     steps = jnp.asarray(np.flip(tables.timesteps).copy(), jnp.float32)
     idxs = jnp.asarray(np.arange(S)[::-1].copy())
     t_alphas, t_alphas_prev, t_sqrt1m, t_sigmas = _device_tables(tables)
@@ -103,7 +112,10 @@ def ddim_sample_ldm(
         xt, key = carry
         t_step, index = inp
         tb = jnp.full((x.shape[0],), t_step, jnp.float32)
-        e_t = _cfg_eps(model_fn, xt, tb, cond, uncond, guidance_scale)
+        e_t = (_cfg_eps(model_fn, xt, tb, cond, uncond, guidance_scale)
+               if eval_dtype is None else
+               _cfg_eps(model_fn, xt.astype(eval_dtype), tb, cond, uncond,
+                        guidance_scale).astype(xt.dtype))
         key, sub = jax.random.split(key)
         noise = (jax.random.normal(sub, xt.shape, xt.dtype)
                  if eta_noise else jnp.zeros_like(xt))
@@ -129,8 +141,12 @@ def plms_sample(
     guidance_scale: float = 1.0,
     rng: Optional[jax.Array] = None,
     return_trajectory: bool = False,
+    eval_dtype=None,
 ):
     """PLMS sampling (reference plms_sampling / p_sample_plms).
+
+    eval_dtype: model-evaluation carrier dtype (see ddim_sample_ldm) —
+    eps history and Adams-Bashforth combines stay f32.
 
     The carry holds the last 3 eps values plus a step counter; the order-k
     Adams-Bashforth combine is selected by lax.switch. Step 0 performs the
@@ -144,13 +160,18 @@ def plms_sample(
     S = len(tables.timesteps)
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if eval_dtype is not None:
+        x = x.astype(jnp.float32)  # f32 scan carry + eps history
     time_range = np.flip(tables.timesteps).copy()
     t_next_range = np.append(time_range[1:], time_range[-1])
     idxs = np.arange(S)[::-1].copy()
     t_alphas, t_alphas_prev, t_sqrt1m, t_sigmas = _device_tables(tables)
 
     def get_eps(xc, tb):
-        return _cfg_eps(model_fn, xc, tb, cond, uncond, guidance_scale)
+        if eval_dtype is None:
+            return _cfg_eps(model_fn, xc, tb, cond, uncond, guidance_scale)
+        return _cfg_eps(model_fn, xc.astype(eval_dtype), tb, cond, uncond,
+                        guidance_scale).astype(xc.dtype)
 
     def xprev(xt, e, index):
         return _x_prev(xt, e, t_alphas[index], t_alphas_prev[index],

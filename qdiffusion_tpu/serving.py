@@ -287,6 +287,17 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
         keys = jax.vmap(jax.random.PRNGKey)(seeds.astype(jnp.uint32))
         return jax.vmap(lambda k: jax.random.normal(k, shape))(keys)
 
+    # bf16-cast param trees get the bf16 evaluation carrier: the samplers'
+    # f32 step tables otherwise promote the scan carry, so every UNet call
+    # after step 1 (and the VAE decode) would run f32 activations against
+    # bf16 params at half MXU rate. Quantized engines (model_fn closures)
+    # manage their own carriers — skip the cast there; sim/fold with f32
+    # params keep the single-dtype reference-parity flow.
+    p_leaves = jax.tree_util.tree_leaves(params)
+    eval_dtype = jnp.bfloat16 if model_fn is None and p_leaves and all(
+        leaf.dtype == jnp.bfloat16 for leaf in p_leaves
+        if jnp.issubdtype(leaf.dtype, jnp.floating)) else None
+
     def _run(params, vae_params, qstate, seeds, cond, uncond_row, n, scale):
         # n/scale are trailing POSITIONAL statics: pjit rejects kwargs
         # when in_shardings is specified (the mesh path)
@@ -298,8 +309,9 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
                 skip_type=task.sampler.skip_type, eta=task.sampler.eta,
                 sample_type=samp, image_size=task.image_size,
                 channels=task.channels, rng=key, x_init=x0,
-                qstate=qstate, mode=mode, model_fn=model_fn)
-            return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+                qstate=qstate, mode=mode, model_fn=model_fn,
+                eval_dtype=eval_dtype)
+            return jnp.clip((x.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
         uncond_n = None
         if cond is not None and uncond_row is not None:
             uncond_n = jnp.broadcast_to(uncond_row,
@@ -309,7 +321,8 @@ def make_generate_fn(task, params, vae_params=None, *, pipe=None, model=None,
             eta=task.sampler.eta, latent_size=task.latent_size,
             latent_channels=task.latent_channels, rng=key, x_init=x0,
             cond=cond, uncond=uncond_n, guidance_scale=scale,
-            qstate=qstate, mode=mode, model_fn=model_fn)
+            qstate=qstate, mode=mode, model_fn=model_fn,
+            eval_dtype=eval_dtype)
         return imgs
 
     if model_fn is not None:

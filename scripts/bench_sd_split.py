@@ -62,16 +62,16 @@ def main():
         z, _ = pipe.sample(p, None, B, sampler="plms", steps=50,
                            latent_size=64, latent_channels=4,
                            cond=c, uncond=uc, guidance_scale=7.5,
-                           x_init=x0, decode=False)
+                           x_init=x0, decode=False,
+                           eval_dtype=jnp.bfloat16)
         return z
 
     @jax.jit
     def decode_only(vp, z):
-        img = pipe.decode_first_stage(vp, z)
-        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+        img = pipe.decode_first_stage(vp, z.astype(jnp.bfloat16))
+        return jnp.clip((img.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
 
-    x0 = jax.random.normal(jax.random.PRNGKey(4), (B, 64, 64, 4),
-                           jnp.bfloat16)
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (B, 64, 64, 4))
 
     def sync(fn, *a):
         return float(np.asarray(jax.tree_util.tree_leaves(fn(*a))[0],
