@@ -195,24 +195,41 @@ class GroupedCapture:
 
     # ------------------------------------------------------------------- API
 
-    def plan(self, unit_names: Sequence[str], params, xs, ts,
-             cs=None) -> List[Tuple[str, ...]]:
-        """Greedy consecutive grouping by estimated full-set capture bytes
-        (one jax.eval_shape over an all-units capture — no compute)."""
+    def unit_shapes(self, unit_names: Sequence[str], params, xs, ts,
+                    cs=None) -> dict:
+        """Full-calibration-set capture specs per unit:
+        {name: (inps_specs, out_spec)} with the leading dim fp_capture /
+        quant_capture actually return (nb*b; tail dropped). eval_shape
+        only — no compute. Feeds the group planner and the AOT runner
+        precompiler (calib/recon.py::lower_unit_runner; asym inputs have
+        the same shapes as FP inputs, only the values differ)."""
         b = self.batch_size
-        n_batches = max(1, xs.shape[0] // b)
+        nb = len(_batch_starts(xs.shape[0], b))
         shapes = jax.eval_shape(
             partial(self._fwd, names=tuple(unit_names),
                     mode=QuantMode.off(), want_out=True),
             params, {}, xs[:b], ts[:b],
             cs[:b] if cs is not None else None)
+
+        def full(a):
+            return jax.ShapeDtypeStruct((nb * b,) + tuple(a.shape[1:]),
+                                        a.dtype)
+
+        return {n: (tuple(full(a) for a in inp), full(out))
+                for n, (inp, out) in shapes.items()}
+
+    def plan(self, unit_names: Sequence[str], params, xs, ts,
+             cs=None) -> List[Tuple[str, ...]]:
+        """Greedy consecutive grouping by estimated full-set capture bytes
+        (one jax.eval_shape over an all-units capture — no compute)."""
+        shapes = self.unit_shapes(unit_names, params, xs, ts, cs)
         groups: List[Tuple[str, ...]] = []
         cur: List[str] = []
         cur_bytes = 0
         for n in unit_names:
             inp, out = shapes[n]
             nb = sum(int(np.prod(a.shape)) * a.dtype.itemsize
-                     for a in (*inp, out)) * n_batches
+                     for a in (*inp, out))
             if cur and cur_bytes + nb > self.group_bytes:
                 groups.append(tuple(cur))
                 cur, cur_bytes = [], 0
@@ -223,6 +240,33 @@ class GroupedCapture:
         logger.info("capture plan: %d unit(s) in %d group(s)",
                     len(unit_names), len(groups))
         return groups
+
+    def lower_sweeps(self, group: Tuple[str, ...], params, qstate, xs, ts,
+                     cs=None, *, fp: bool = True,
+                     quant_act: Optional[bool] = None) -> list:
+        """AOT-lower this group's sweep programs (FP capture and, when
+        quant_act is not None, the asym quantized-prefix capture with
+        act_quant=quant_act) for background compilation; returns jax
+        `Lowered` objects. Compiling them populates the same jit caches
+        fp_capture/quant_capture hit. qstate must already have its final
+        pytree structure for the quantized mode (post alpha pre-init /
+        act init)."""
+        x, t, c = self._batched(xs, ts, cs)
+
+        def spec(tree):
+            return jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(tuple(a.shape), a.dtype),
+                tree)
+
+        p_s, x_s, t_s = spec(params), spec(x), spec(t)
+        c_s = spec(c) if c is not None else None
+        out = []
+        if fp:
+            out.append(self._get_fp(group).lower(p_s, {}, x_s, t_s, c_s))
+        if quant_act is not None:
+            out.append(self._get_q(group, quant_act).lower(
+                p_s, spec(qstate), x_s, t_s, c_s))
+        return out
 
     def fp_capture(self, params, group: Tuple[str, ...], xs, ts, cs=None):
         """ONE dispatch capturing FP (inps, out) for every unit in `group`

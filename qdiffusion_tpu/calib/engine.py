@@ -59,6 +59,16 @@ class CalibConfig:
     # by estimated on-device capture bytes (full calibration set).
     grouped_capture: bool = True
     capture_group_bytes: int = 3 << 30
+    # AOT precompile: trace+lower every distinct recon-runner structure
+    # and the group capture sweeps upfront on the host, compiling them on
+    # `precompile` background thread(s) before the unit loop starts. The
+    # loop then runs compile-free: host tracing (10-20s per distinct
+    # structure on this single-core box) overlaps the remote XLA compiles
+    # (20-40s each), and with >1 thread the compiles overlap each other —
+    # the residual cold-calibration wall was ~30 such compiles serialized
+    # (docs/E2E_RUN.md round-3 table). 0 = off. Requires grouped_capture
+    # and mse opt_mode (fisher capture shapes are data-dependent).
+    precompile: int = 1
     pipeline: bool = False  # overlap unit N+1 trace/compile with unit N's
     # device execution (JAX async dispatch). The math is identical — the
     # asym capture of unit N+1 depends on unit N's reconstructed qstate
@@ -143,6 +153,45 @@ def run_running_stat(model, params: dict, qstate: dict, xs: Array, ts: Array,
     return qstate
 
 
+def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
+                rcfg, cfg: CalibConfig, cali, *, act_quant: bool):
+    """AOT-lower every distinct recon-runner structure among `names` plus
+    each group's capture sweeps, compiling them on cfg.precompile
+    background thread(s). Blocks until every executable is in cache — a
+    live call racing an in-flight compile would start a duplicate remote
+    compile rather than wait for it. qstate must already have its final
+    pytree structure for the pass (post alpha pre-init / act init)."""
+    import concurrent.futures as cf
+
+    from qdiffusion_tpu.calib.recon import lower_unit_runner
+
+    xs, ts, cs = cali
+    t0 = time.time()
+    lowered = []
+    for group in groups:
+        lowered += gc.lower_sweeps(
+            group, params, qstate, xs, ts, cs, fp=True,
+            quant_act=False if (not act_quant and cfg.asym) else None)
+    shapes = gc.unit_shapes(names, params, xs, ts, cs)
+    with cf.ThreadPoolExecutor(max_workers=cfg.precompile) as ex:
+        futs = [ex.submit(low.compile) for low in lowered]
+        for n in names:
+            unit = unit_by_name[n][1]
+            inps, out = shapes[n]
+            low = lower_unit_runner(
+                model, params, qstate, unit, rcfg, act_quant=act_quant,
+                sm_abit=cfg.sm_abit, inps_shapes=inps, out_shape=out)
+            if low is not None:
+                futs.append(ex.submit(low.compile))
+        t_lower = time.time() - t0
+        for f in futs:
+            f.result()
+    logger.info("precompile(%s): %d program(s), lowering done at %.1fs, "
+                "all compiled at %.1fs (%d thread(s))",
+                "act" if act_quant else "weight", len(futs), t_lower,
+                time.time() - t0, cfg.precompile)
+
+
 def calibrate(
     model,
     params: dict,
@@ -222,7 +271,13 @@ def calibrate(
             qstate = jax.jit(_pre_init)(params, qstate)
             logger.info("adaround alphas pre-initialized "
                         "(constant capture-program structure)")
-        for group in _plan(w_names):
+        w_groups = _plan(w_names)
+        if (cfg.precompile and gc is not None and w_names
+                and cfg.weight.opt_mode == "mse"):
+            _precompile(model, params, qstate, w_names, unit_by_name, gc,
+                        w_groups, cfg.weight, cfg,
+                        (cali_xs, cali_ts, cali_cs), act_quant=False)
+        for group in w_groups:
             if all(unit_by_name[n][0] < start_idx for n in group):
                 continue
             fp = (gc.fp_capture(params, group, cali_xs, cali_ts, cali_cs)
@@ -306,7 +361,13 @@ def calibrate(
         start_idx = 0
 
     a_names = [u.name for u in model.units if u.name not in cfg.skip_units]
-    for group in _plan(a_names):
+    a_groups = _plan(a_names)
+    if (cfg.precompile and gc is not None and a_names
+            and cfg.act.opt_mode == "mse"):
+        _precompile(model, params, qstate, a_names, unit_by_name, gc,
+                    a_groups, cfg.act, cfg, (cali_xs, cali_ts, cali_cs),
+                    act_quant=True)
+    for group in a_groups:
         if all(unit_by_name[n][0] < start_idx for n in group):
             continue
         fp = (gc.fp_capture(params, group, cali_xs, cali_ts, cali_cs)

@@ -235,38 +235,41 @@ def reconstruct_unit(
 
     if not act_quant:
         qstate = init_adaround_unit(model, params, qstate, unit)
-    train0 = extract_trainable(qstate, unit, mode, sm_abit=sm_abit)
-    if not train0:
+
+    key, arg_tree, p_paths, q_sites = _canonical_args(
+        params, qstate, unit, mode, cfg, sm_abit, cached_inps, cached_out,
+        cached_grads)
+    if not arg_tree[0]:  # no trainable leaves in this unit
         return qstate
+    run, cell = _get_runner(key, cfg, mode, sm_abit,
+                            getattr(unit, "loss_axis", -1),
+                            len(cached_inps) > 1)
+    cell["apply"] = unit.apply
+    cell["p_paths"] = p_paths
+    cell["q_sites"] = q_sites
+    c_train_final = run(*arg_tree, rng)
+    train_final = {q_sites[int(k[1:])]: v for k, v in c_train_final.items()}
+    return merge_trainable(qstate, train_final, mode)
 
-    n = cached_out.shape[0]
+
+def _canonical_args(params, qstate, unit, mode, cfg, sm_abit, cached_inps,
+                    cached_out, cached_grads):
+    """Canonical (name-free) runner arguments + the runner cache key.
+
+    The unit's param/qstate subtrees are relabeled to canonical keys
+    (p000..., q000...) so every unit with the same kind, local structure,
+    and shapes shares ONE jitted runner — zero retrace after the first.
+    Leaves may be concrete arrays or ShapeDtypeStructs (the AOT precompile
+    path, lower_unit_runner): the key and treedef come out identical
+    either way, so a runner lowered ahead of time is the same cache entry
+    the live call hits."""
     loss_axis = getattr(unit, "loss_axis", -1)
-    p_norm = cfg.p
-    fwd_mode = QuantMode(w=True, a=act_quant, soft=not act_quant)
-
-    if act_quant:
-        sched = optax.cosine_decay_schedule(cfg.lr, cfg.iters, alpha=0.0)
-        opt = optax.adam(sched)
-    else:
-        opt = optax.adam(cfg.alpha_lr)
-
-    # Shape-only AND name-free programs: the unit's param/qstate subtrees
-    # are relabeled to canonical keys (p000..., q000...) before entering
-    # jit, so every unit with the same kind, local structure, and shapes
-    # shares ONE jitted runner — zero retrace after the first. On a
-    # single-core host the per-unit trace+lower of a 20k-iteration grad
-    # loop costs 10-20 s, which dominated cold calibration once the
-    # capture compile wall fell (docs/E2E_RUN.md round-3 table). The
-    # runner resolves the CURRENT unit's apply/paths through a swap cell:
-    # the compiled program is a pure function of the flattened arrays
-    # (site names never reach HLO), and canonical relabeling aligns the
-    # flatten order across same-structure units; on any treedef/shape
-    # mismatch jit retraces with the current cell, which is also correct.
     p_paths = unit_param_paths(params, unit)
     all_sites = list(dict.fromkeys(
         list(unit.layer_names) + [unit.name]
         + list(getattr(unit, "extra_sites", []))))
     q_sites = [s for s in all_sites if s in qstate]
+    train0 = extract_trainable(qstate, unit, mode, sm_abit=sm_abit)
 
     c_params = {f"p{i:03d}": _sub_path(params, pth)
                 for i, pth in enumerate(p_paths)}
@@ -280,16 +283,37 @@ def reconstruct_unit(
                      else nm[len(base):] if nm.startswith(base)
                      else "~abs:" + nm for nm in names)
 
-    two_inputs = len(cached_inps) > 1
-    arg_tree = (c_train0, c_params, c_qstate, cached_inps, cached_out,
+    arg_tree = (c_train0, c_params, c_qstate, tuple(cached_inps), cached_out,
                 cached_grads)
     leaves, treedef = jax.tree_util.tree_flatten(arg_tree)
     shapes = tuple((tuple(a.shape), jnp.result_type(a).name) for a in leaves)
     key = (unit.kind, local_sig(p_paths), local_sig(q_sites), mode, cfg,
            loss_axis, sm_abit, treedef, shapes)
+    return key, arg_tree, p_paths, q_sites
 
+
+def _get_runner(key, cfg: ReconConfig, mode: str, sm_abit: int,
+                loss_axis, two_inputs: bool):
+    """Build (or fetch) the shared jitted reconstruction runner for `key`.
+
+    On a single-core host the per-unit trace+lower of a 20k-iteration grad
+    loop costs 10-20 s, which dominated cold calibration once the capture
+    compile wall fell (docs/E2E_RUN.md round-3 table). The runner resolves
+    the CURRENT unit's apply/paths through a swap cell: the compiled
+    program is a pure function of the flattened arrays (site names never
+    reach HLO), and canonical relabeling aligns the flatten order across
+    same-structure units; on any treedef/shape mismatch jit retraces with
+    the current cell, which is also correct."""
     cached = _RUN_CACHE.get(key)
     if cached is None:
+        act_quant = mode == "act"
+        p_norm = cfg.p
+        fwd_mode = QuantMode(w=True, a=act_quant, soft=not act_quant)
+        if act_quant:
+            sched = optax.cosine_decay_schedule(cfg.lr, cfg.iters, alpha=0.0)
+            opt = optax.adam(sched)
+        else:
+            opt = optax.adam(cfg.alpha_lr)
         cell = {}
 
         def loss_fn(c_train, c_sub_p, c_sub_q, b_x, b_t_aux, b_out, b_grad,
@@ -356,12 +380,43 @@ def reconstruct_unit(
 
         cached = (run, cell)
         _RUN_CACHE[key] = cached
+    return cached
 
-    run, cell = cached
+
+def lower_unit_runner(model, params: dict, qstate: dict, unit, cfg: ReconConfig,
+                      *, act_quant: bool, sm_abit: int = 8,
+                      inps_shapes, out_shape):
+    """AOT entry for the calibration precompiler (engine.CalibConfig.
+    precompile): build (or fetch) the runner this unit's reconstruction
+    will use and return the jax `Lowered` for its exact call signature.
+    Compiling it — on any thread — populates the same executable cache
+    reconstruct_unit's live call hits, so the unit loop pays zero compile
+    wait. Returns None when an identically-keyed runner was already
+    lowered (same-structure units share one program) or the unit has no
+    trainable leaves. mse opt_mode only (no cached-grads signature).
+
+    params/qstate are the live (concrete) trees; weight-mode AdaRound
+    alpha leaves are added abstractly via eval_shape — no compute, no
+    value clobbering. inps_shapes/out_shape: full-calibration-set capture
+    specs (GroupedCapture.unit_shapes)."""
+    mode = "act" if act_quant else "weight"
+    if not act_quant:
+        qstate = jax.eval_shape(
+            lambda p, q: init_adaround_unit(model, p, q, unit),
+            params, qstate)
+    key, arg_tree, p_paths, q_sites = _canonical_args(
+        params, qstate, unit, mode, cfg, sm_abit, tuple(inps_shapes),
+        out_shape, None)
+    if not arg_tree[0] or key in _RUN_CACHE:
+        return None
+    run, cell = _get_runner(key, cfg, mode, sm_abit,
+                            getattr(unit, "loss_axis", -1),
+                            len(inps_shapes) > 1)
     cell["apply"] = unit.apply
     cell["p_paths"] = p_paths
     cell["q_sites"] = q_sites
-    c_train_final = run(c_train0, c_params, c_qstate, cached_inps,
-                        cached_out, cached_grads, rng)
-    train_final = {q_sites[int(k[1:])]: v for k, v in c_train_final.items()}
-    return merge_trainable(qstate, train_final, mode)
+    abs_args = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(tuple(a.shape), jnp.result_type(a)),
+        arg_tree)
+    rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return run.lower(*abs_args, rng_spec)

@@ -100,3 +100,40 @@ def test_calibrate_grouped_matches_ungrouped(setup):
     for a, b in zip(flat_g, flat_p):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_unit_shapes_match_captures(setup):
+    """unit_shapes (the AOT precompiler's shape source) must agree exactly
+    with what fp_capture returns — a drift here would make every
+    precompiled runner a silent cache miss."""
+    model, params, _, xs, ts = setup
+    names = tuple(u.name for u in model.units if u.layer_names)[:3]
+    gc = GroupedCapture(model, batch_size=4)
+    shapes = gc.unit_shapes(names, params, xs, ts)
+    fp = gc.fp_capture(params, names, xs, ts)
+    for n in names:
+        (inps_s, out_s), (inps, out) = shapes[n], fp[n]
+        assert tuple(a.shape for a in inps_s) == tuple(a.shape for a in inps)
+        assert all(a.dtype == b.dtype for a, b in zip(inps_s, inps))
+        assert out_s.shape == out.shape and out_s.dtype == out.dtype
+
+
+def test_calibrate_precompile_matches(setup):
+    """CalibConfig.precompile AOT-compiles the recon runners and capture
+    sweeps ahead of the unit loop; it only warms executable caches, so the
+    calibrated qstate must be bit-identical to the non-precompiled path."""
+    model, params, _, xs, ts = setup
+    base = dict(weight=ReconConfig(iters=6, batch_size=4),
+                act=ReconConfig(iters=4, batch_size=4, lr=4e-4),
+                quant_act=True, capture_batch=4, act_init_batch=8)
+    q_pre = calibrate(model, params, (xs, ts),
+                      CalibConfig(precompile=2, **base),
+                      rng=jax.random.PRNGKey(1))
+    q_off = calibrate(model, params, (xs, ts),
+                      CalibConfig(precompile=0, **base),
+                      rng=jax.random.PRNGKey(1))
+    flat_a, tree_a = jax.tree_util.tree_flatten(q_pre)
+    flat_b, tree_b = jax.tree_util.tree_flatten(q_off)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
