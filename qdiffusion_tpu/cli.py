@@ -253,7 +253,7 @@ def cmd_calibrate(args):
         cali_st=args.cali_st, cali_n=args.cali_n,
         cali_batch_size=args.cali_batch_size, cali_iters=args.cali_iters,
         cali_iters_a=args.cali_iters_a, cali_lr=args.cali_lr,
-        cali_p=args.cali_p)
+        cali_p=args.cali_p, precompile=args.precompile)
     task = resolve_task(args)
     run_dir = setup_run_dir(args.logdir, f"calib-{task.name}")
     dump_config(run_dir, {"task": task, "quant": qflags, "argv": sys.argv})
@@ -715,6 +715,9 @@ def main(argv=None):
     sp.add_argument("--cali-iters-a", type=int, default=5000)
     sp.add_argument("--cali-lr", type=float, default=4e-4)
     sp.add_argument("--cali-p", type=float, default=2.4)
+    sp.add_argument("--precompile", type=int, default=1, metavar="N",
+                    help="AOT-compile recon runners + capture sweeps on N "
+                         "background threads before each unit loop (0=off)")
     sp.add_argument("--logdir", default="logs")
     sp.add_argument("--seed", type=int, default=1234)
     sp.set_defaults(fn=cmd_calibrate)

@@ -60,6 +60,7 @@ class QuantFlags:
     cali_iters_a: int = 5000
     cali_lr: float = 4e-4
     cali_p: float = 2.4
+    precompile: int = 1  # AOT compile threads for recon/capture programs
 
     def policy_ddim(self) -> QuantPolicy:
         """CIFAR policy: 'max' scale methods (sample_diffusion_ddim.py:129-139)."""
@@ -91,7 +92,8 @@ class QuantFlags:
                             batch_size=self.cali_batch_size,
                             lr=self.cali_lr, p=self.cali_p),
             quant_act=self.quant_act, running_stat=self.running_stat,
-            rs_sm_only=self.rs_sm_only, sm_abit=self.sm_abit)
+            rs_sm_only=self.rs_sm_only, sm_abit=self.sm_abit,
+            precompile=self.precompile)
 
 
 @dataclasses.dataclass(frozen=True)
