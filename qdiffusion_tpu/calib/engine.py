@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import threading
 import time
 from typing import Optional, Tuple
 
@@ -153,6 +154,21 @@ def run_running_stat(model, params: dict, qstate: dict, xs: Array, ts: Array,
     return qstate
 
 
+_CPU_COMPILE_LOCK = threading.Lock()
+
+
+def _compile_one(low):
+    """Compile one Lowered, serializing on the CPU backend: XLA:CPU's
+    in-process LLVM compile has segfaulted under concurrent
+    Lowered.compile() calls on this jaxlib (observed once in the full
+    test suite with precompile=2); remote PJRT compiles (the TPU tunnel)
+    are independent RPCs and stay fully concurrent."""
+    if jax.default_backend() == "cpu":
+        with _CPU_COMPILE_LOCK:
+            return low.compile()
+    return low.compile()
+
+
 def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
                 rcfg, cfg: CalibConfig, cali, *, act_quant: bool):
     """AOT-lower every distinct recon-runner structure among `names` plus
@@ -174,7 +190,7 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
             quant_act=False if (not act_quant and cfg.asym) else None)
     shapes = gc.unit_shapes(names, params, xs, ts, cs)
     with cf.ThreadPoolExecutor(max_workers=cfg.precompile) as ex:
-        futs = [ex.submit(low.compile) for low in lowered]
+        futs = [ex.submit(_compile_one, low) for low in lowered]
         for n in names:
             unit = unit_by_name[n][1]
             inps, out = shapes[n]
@@ -182,7 +198,7 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
                 model, params, qstate, unit, rcfg, act_quant=act_quant,
                 sm_abit=cfg.sm_abit, inps_shapes=inps, out_shape=out)
             if low is not None:
-                futs.append(ex.submit(low.compile))
+                futs.append(ex.submit(_compile_one, low))
         t_lower = time.time() - t0
         for f in futs:
             f.result()
