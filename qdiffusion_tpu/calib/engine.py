@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import threading
 import time
 from typing import Optional, Tuple
 
@@ -154,21 +153,6 @@ def run_running_stat(model, params: dict, qstate: dict, xs: Array, ts: Array,
     return qstate
 
 
-_CPU_COMPILE_LOCK = threading.Lock()
-
-
-def _compile_one(low):
-    """Compile one Lowered, serializing on the CPU backend: XLA:CPU's
-    in-process LLVM compile has segfaulted under concurrent
-    Lowered.compile() calls on this jaxlib (observed once in the full
-    test suite with precompile=2); remote PJRT compiles (the TPU tunnel)
-    are independent RPCs and stay fully concurrent."""
-    if jax.default_backend() == "cpu":
-        with _CPU_COMPILE_LOCK:
-            return low.compile()
-    return low.compile()
-
-
 def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
                 rcfg, cfg: CalibConfig, cali, *, act_quant: bool):
     """AOT-lower every distinct recon-runner structure among `names` plus
@@ -176,12 +160,23 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
     background thread(s). Blocks until every executable is in cache — a
     live call racing an in-flight compile would start a duplicate remote
     compile rather than wait for it. qstate must already have its final
-    pytree structure for the pass (post alpha pre-init / act init)."""
+    pytree structure for the pass (post alpha pre-init / act init).
+
+    On the CPU backend the whole pass runs INLINE on the main thread,
+    with no executor: XLA:CPU's in-process LLVM compile segfaults when a
+    background-thread Lowered.compile() overlaps main-thread tracing or
+    compiling (reproduced in full-suite pytest runs even at
+    precompile=1, where a lock around compile() alone covers nothing —
+    main-thread lower_unit_runner raced the worker's compile). Threads
+    only ever paid off by overlapping *remote tunnel* compiles; on CPU
+    they can only lose, so single-threaded is both the fix and the
+    right behavior."""
     import concurrent.futures as cf
 
     from qdiffusion_tpu.calib.recon import lower_unit_runner
 
     xs, ts, cs = cali
+    inline = jax.default_backend() == "cpu"
     t0 = time.time()
     lowered = []
     for group in groups:
@@ -189,8 +184,8 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
             group, params, qstate, xs, ts, cs, fp=True,
             quant_act=False if (not act_quant and cfg.asym) else None)
     shapes = gc.unit_shapes(names, params, xs, ts, cs)
-    with cf.ThreadPoolExecutor(max_workers=cfg.precompile) as ex:
-        futs = [ex.submit(_compile_one, low) for low in lowered]
+
+    def _runner_lowereds():
         for n in names:
             unit = unit_by_name[n][1]
             inps, out = shapes[n]
@@ -198,14 +193,30 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
                 model, params, qstate, unit, rcfg, act_quant=act_quant,
                 sm_abit=cfg.sm_abit, inps_shapes=inps, out_shape=out)
             if low is not None:
-                futs.append(ex.submit(_compile_one, low))
+                yield low
+
+    if inline:
+        n_progs = 0
+        for low in lowered:
+            low.compile()
+            n_progs += 1
         t_lower = time.time() - t0
-        for f in futs:
-            f.result()
+        for low in _runner_lowereds():
+            low.compile()
+            n_progs += 1
+    else:
+        with cf.ThreadPoolExecutor(max_workers=cfg.precompile) as ex:
+            futs = [ex.submit(low.compile) for low in lowered]
+            futs += [ex.submit(low.compile) for low in _runner_lowereds()]
+            t_lower = time.time() - t0
+            for f in futs:
+                f.result()
+        n_progs = len(futs)
     logger.info("precompile(%s): %d program(s), lowering done at %.1fs, "
-                "all compiled at %.1fs (%d thread(s))",
-                "act" if act_quant else "weight", len(futs), t_lower,
-                time.time() - t0, cfg.precompile)
+                "all compiled at %.1fs (%s)",
+                "act" if act_quant else "weight", n_progs, t_lower,
+                time.time() - t0,
+                "inline/cpu" if inline else "%d thread(s)" % cfg.precompile)
 
 
 def calibrate(
