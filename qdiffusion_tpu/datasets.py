@@ -30,7 +30,7 @@ import numpy as np
 
 __all__ = [
     "Crop", "resize_short", "center_crop", "to_array",
-    "CIFAR10", "ImageFolder", "CelebA", "LSUN", "FFHQ",
+    "CIFAR10", "ArtCIFAR10", "ImageFolder", "CelebA", "LSUN", "FFHQ",
     "get_dataset", "iter_batches",
 ]
 
@@ -91,23 +91,24 @@ class CIFAR10:
 
     TRAIN_FILES = [f"data_batch_{i}" for i in range(1, 6)]
     TEST_FILES = ["test_batch"]
+    FOLDER = "cifar-10-batches-py"
 
     def __init__(self, root, train: bool = True, image_size: int = 32):
         base = Path(root)
-        if (base / "cifar-10-batches-py").exists():
-            base = base / "cifar-10-batches-py"
+        if (base / self.FOLDER).exists():
+            base = base / self.FOLDER
         files = self.TRAIN_FILES if train else self.TEST_FILES
         data, labels = [], []
         for f in files:
             p = base / f
             if not p.exists():
                 raise FileNotFoundError(
-                    f"{p} missing — point root at a cifar-10-batches-py "
-                    "folder (the standard CIFAR-10 python archive)")
+                    f"{p} missing — point root at a {self.FOLDER} "
+                    "folder (the standard CIFAR-10 python archive layout)")
             with open(p, "rb") as fh:
                 d = pickle.load(fh, encoding="bytes")
             data.append(d[b"data"])
-            labels.extend(d[b"labels"])
+            labels.extend(d.get(b"labels", d.get(b"fine_labels", [])))
         raw = np.concatenate(data).reshape(-1, 3, 32, 32)
         self.images = np.transpose(raw, (0, 2, 3, 1)).astype(np.float32) / 255.0
         self.labels = np.asarray(labels, np.int32)
@@ -124,6 +125,15 @@ class CIFAR10:
             pil = Image.fromarray((img * 255).astype(np.uint8))
             img = to_array(resize_short(pil, self.image_size))
         return img, int(self.labels[i])
+
+
+class ArtCIFAR10(CIFAR10):
+    """artCIFAR10 (reference ddim/datasets/artcifar10.py): the CIFAR-10
+    pickle layout under an `artcifar-10-batches-py` folder; the meta
+    record keys style names instead of class names, which the loaders
+    never read. Same 5 train batches + 1 test batch."""
+
+    FOLDER = "artcifar-10-batches-py"
 
 
 class ImageFolder:
@@ -256,6 +266,9 @@ def get_dataset(name: str, root, *, image_size: int, split: str = "train",
     name = name.upper()
     if name == "CIFAR10":
         return CIFAR10(root, train=split == "train", image_size=image_size)
+    if name == "ARTCIFAR10":
+        return ArtCIFAR10(root, train=split == "train",
+                          image_size=image_size)
     if name == "CELEBA":
         return CelebA(root, split=split, image_size=image_size)
     if name == "LSUN":

@@ -10,6 +10,7 @@ from PIL import Image
 
 from qdiffusion_tpu.datasets import (
     CIFAR10,
+    ArtCIFAR10,
     CelebA,
     Crop,
     center_crop,
@@ -52,6 +53,30 @@ def test_cifar10_channel_layout(cifar_dir):
         raw = pickle.load(f, encoding="bytes")[b"data"][0]
     expected = raw.reshape(3, 32, 32).transpose(1, 2, 0) / 255.0
     np.testing.assert_allclose(ds[0][0], expected.astype(np.float32))
+
+
+def test_artcifar10_folder_and_dispatch(tmp_path):
+    """artCIFAR10 (ddim/datasets/artcifar10.py): CIFAR pickle layout under
+    artcifar-10-batches-py; get_dataset dispatches on 'artCIFAR10'
+    (ddim/datasets/__init__.py:62-75)."""
+    rng = np.random.default_rng(2)
+    d = tmp_path / "artcifar-10-batches-py"
+    d.mkdir()
+    for name, n in [(f"data_batch_{i}", 6) for i in range(1, 6)] + [
+            ("test_batch", 4)]:
+        data = rng.integers(0, 256, size=(n, 3072), dtype=np.uint8)
+        with open(d / name, "wb") as f:
+            pickle.dump({b"data": data,
+                         b"labels": list(rng.integers(0, 10, n))}, f)
+    ds = ArtCIFAR10(tmp_path, train=True)
+    assert len(ds) == 30
+    img, label = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.float32
+    # CIFAR10 must NOT find the art folder (distinct base_folder names)
+    with pytest.raises(FileNotFoundError):
+        CIFAR10(tmp_path, train=True)
+    via = get_dataset("artCIFAR10", tmp_path, image_size=32, split="test")
+    assert isinstance(via, ArtCIFAR10) and len(via) == 4
 
 
 def test_celeba_crop_and_split(tmp_path):
