@@ -68,16 +68,64 @@ def sd_inputs():
     return x_nchw, t_np, c_np
 
 
-def test_sd_v14_unet_fullsize_fp32(sd_unet_ref, sd_inputs):
+@pytest.fixture(scope="module")
+def sd_fp32_expected(sd_unet_ref, sd_inputs):
+    """The UNWRAPPED reference forward, captured before any QuantModel
+    surgery (which rewires `ref` in place and is one-way): sd_qnn depends
+    on this fixture, so the fp32 golden is correct in any test order."""
     import torch
-
-    from qdiffusion_tpu.models.unet_ldm import LDMUNet
 
     cfg, ref, sd = sd_unet_ref
     x_nchw, t_np, c_np = sd_inputs
     with torch.no_grad():
-        expected = ref(torch.from_numpy(x_nchw), torch.from_numpy(t_np),
-                       context=torch.from_numpy(c_np)).numpy()
+        out = ref(torch.from_numpy(x_nchw), torch.from_numpy(t_np),
+                  context=torch.from_numpy(c_np)).numpy()
+    return out
+
+
+@pytest.fixture(scope="module")
+def sd_qnn(sd_unet_ref, sd_fp32_expected):
+    """The reference QuantModel wrap (module surgery,
+    qdiff/quant_model.py:25-61) built once per module, AFTER the fp32
+    golden is captured. Each test sets its own quant state / leaf_param /
+    inited flags, so tests are order-independent."""
+    sys.path.insert(0, str(REF))
+    from qdiff import QuantModel
+
+    cfg, ref, sd = sd_unet_ref
+    wq = {"n_bits": 8, "channel_wise": True, "scale_method": "max"}
+    aq = {"n_bits": 8, "symmetric": False, "channel_wise": False,
+          "scale_method": "max", "leaf_param": False}
+    qnn = QuantModel(model=ref, weight_quant_params=wq,
+                     act_quant_params=aq, sm_abit=16).eval()
+    return qnn
+
+
+_ACT_QUANTIZER_ATTRS = ("act_quantizer", "act_quantizer_q",
+                        "act_quantizer_k", "act_quantizer_v",
+                        "act_quantizer_w")
+
+
+def _reset_act_quantizers(mod, leaf_param: bool = True):
+    """Flip leaf_param on and force re-init on the next forward so each
+    test's activation deltas come from ITS inputs, whatever ran before."""
+    n = 0
+    for m in mod.modules():
+        for attr in _ACT_QUANTIZER_ATTRS:
+            aq = getattr(m, attr, None)
+            if aq is not None:
+                aq.leaf_param = leaf_param
+                aq.inited = False
+                n += 1
+    return n
+
+
+def test_sd_v14_unet_fullsize_fp32(sd_unet_ref, sd_inputs, sd_fp32_expected):
+    from qdiffusion_tpu.models.unet_ldm import LDMUNet
+
+    cfg, ref, sd = sd_unet_ref
+    x_nchw, t_np, c_np = sd_inputs
+    expected = sd_fp32_expected
     assert np.linalg.norm(expected) > 1.0  # de-zeroed: non-vacuous compare
 
     params = state_dict_to_pytree(sd)
@@ -91,7 +139,7 @@ def test_sd_v14_unet_fullsize_fp32(sd_unet_ref, sd_inputs):
     np.testing.assert_allclose(ours_nchw, expected, rtol=5e-3, atol=5e-3)
 
 
-def test_sd_v14_unet_fullsize_w8_quant(sd_unet_ref, sd_inputs):
+def test_sd_v14_unet_fullsize_w8_quant(sd_unet_ref, sd_qnn, sd_inputs):
     """Full-size W8 quantized forward vs the reference QuantModel — the
     module surgery (qdiff/quant_model.py:25-61) wrapping all ~400 deployed
     convs/linears + per-channel scale init at real channel counts."""
@@ -102,18 +150,9 @@ def test_sd_v14_unet_fullsize_w8_quant(sd_unet_ref, sd_inputs):
     from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
     from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
 
-    sys.path.insert(0, str(REF))
-    from qdiff import QuantModel
-
     cfg, ref, sd = sd_unet_ref
     x_nchw, t_np, c_np = sd_inputs
-
-    wq = {"n_bits": 8, "channel_wise": True, "scale_method": "max"}
-    aq = {"n_bits": 8, "symmetric": False, "channel_wise": False,
-          "scale_method": "max", "leaf_param": False}
-    qnn = QuantModel(model=ref, weight_quant_params=wq,
-                     act_quant_params=aq, sm_abit=16).eval()
-    ref._qdt_wrapped = qnn  # reused by the W8A8 first-forward test
+    qnn = sd_qnn
     qnn.set_quant_state(True, False)
     with torch.no_grad():
         expected = qnn(torch.from_numpy(x_nchw), torch.from_numpy(t_np),
@@ -139,14 +178,14 @@ def test_sd_v14_unet_fullsize_w8_quant(sd_unet_ref, sd_inputs):
     np.testing.assert_allclose(ours_nchw, expected, rtol=1e-2, atol=1e-2)
 
 
-def test_sd_v14_unet_fullsize_w8a8_first_forward(sd_unet_ref, sd_inputs):
+def test_sd_v14_unet_fullsize_w8a8_first_forward(sd_unet_ref, sd_qnn,
+                                                 sd_inputs):
     """Full-size W8A8: act quantizers init sequentially during the first
     forward on both sides (quant_layer.py:68-75). Exact elementwise parity
     is impossible (requantization cascades 1e-6 conv noise through round()),
     so assert norm-level agreement plus per-site delta equality at real
-    activation scales. NOTE depends on test_..._w8_quant having wrapped the
-    module-scoped reference (module surgery is one-way); runs after it in
-    file order."""
+    activation scales. Order-independent: builds on the sd_qnn fixture and
+    resets every act quantizer to init from THIS forward."""
     import torch
 
     from qdiffusion_tpu.calib.engine import init_weight_qstate
@@ -156,15 +195,10 @@ def test_sd_v14_unet_fullsize_w8a8_first_forward(sd_unet_ref, sd_inputs):
 
     cfg, ref, sd = sd_unet_ref
     x_nchw, t_np, c_np = sd_inputs
-    qnn = getattr(ref, "_qdt_wrapped", None)
-    if qnn is None:
-        pytest.skip("w8_quant wrap unavailable (ran standalone)")
+    qnn = sd_qnn
 
-    # flip leaf_param on: quantizers init delta on first forward
-    for mod in qnn.modules():
-        aq = getattr(mod, "act_quantizer", None)
-        if aq is not None:
-            aq.leaf_param = True
+    # leaf_param on + inited=False: quantizers init delta on this forward
+    _reset_act_quantizers(qnn)
     qnn.set_quant_state(True, True)
     with torch.no_grad():
         expected = qnn(torch.from_numpy(x_nchw), torch.from_numpy(t_np),
@@ -211,6 +245,126 @@ def test_sd_v14_unet_fullsize_w8a8_first_forward(sd_unet_ref, sd_inputs):
         f"p90 delta dev {vals[int(0.9 * len(vals))]:.3f} "
         f"(worst {worst}: {devs[worst]:.3f})")
     assert vals[-1] < 0.25, f"worst delta dev {worst}: {devs[worst]:.3f}"
+
+
+def test_sd_v14_per_unit_w8a8_parity(sd_unet_ref, sd_qnn, sd_inputs):
+    """Per-block full-width W8A8 parity: quantize exactly ONE unit at a
+    time and feed both frameworks the SAME captured fp32 inputs, so every
+    site is bounded tightly (~1e-3) with zero cascade noise — the check
+    the end-to-end W8A8 test can only do distributionally (its rel<0.05
+    envelope exists because requantization cascades fp noise through
+    round() at ~400 sites). One representative unit per distinct structure
+    (kind + weight shapes): identical code paths with different weight
+    values add runtime, not coverage."""
+    import torch
+
+    from qdiffusion_tpu.calib.engine import init_weight_qstate
+    from qdiffusion_tpu.models.base import _sub
+    from qdiffusion_tpu.models.unet_ldm import LDMQuantPolicy, LDMUNet
+    from qdiffusion_tpu.quant.affine import AffineQuantizerSpec
+    from qdiffusion_tpu.quant.context import INIT, QuantCtx, QuantMode
+
+    sys.path.insert(0, str(REF))
+    from qdiff.quant_block import BaseQuantBlock
+    from qdiff.quant_layer import QuantModule
+
+    cfg, ref, sd = sd_unet_ref
+    x_nchw, t_np, c_np = sd_inputs
+    qnn = sd_qnn
+    qnn.set_quant_state(False, False)
+
+    policy = LDMQuantPolicy(
+        wq=AffineQuantizerSpec(n_bits=8, channel_wise=True, channel_axis=-1,
+                               scale_method="max"),
+        aq=AffineQuantizerSpec(n_bits=8, scale_method="max", leaf_param=True),
+        sm_abit=16)
+    model = LDMUNet(cfg, policy)
+    params = state_dict_to_pytree(sd)
+    qstate = init_weight_qstate(model, params)
+
+    # one representative unit per distinct structure
+    reps = {}
+    for unit in model.units:
+        wshapes = tuple(
+            tuple(np.asarray(_sub(params, ln)["w"]).shape)
+            for ln in unit.layer_names)
+        reps.setdefault((unit.kind, wshapes), unit)
+    selected = list(reps.values())
+    assert len(selected) >= 20, f"only {len(selected)} distinct structures"
+
+    # capture every selected unit's fp32 inputs in ONE fp forward
+    cap = QuantCtx(capture=frozenset(u.name for u in selected))
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    model.apply(params, x, jnp.asarray(t_np), cap,
+                context=jnp.asarray(c_np))
+    assert set(cap.captured) == {u.name for u in selected}
+
+    def _to_torch(a):
+        a = np.asarray(a)
+        if a.ndim == 4:  # NHWC -> NCHW
+            a = np.transpose(a, (0, 3, 1, 2))
+        return torch.from_numpy(a)
+
+    def _from_torch(t):
+        a = t.numpy()
+        if a.ndim == 4:
+            a = np.transpose(a, (0, 2, 3, 1))
+        return a
+
+    failures = []
+    for unit in selected:
+        inps = cap.captured[unit.name]["inp"]
+        if not isinstance(inps, tuple):
+            inps = (inps,)
+
+        # ours: quantize only this unit (fresh act-delta init from its input)
+        ctx_u = QuantCtx(qstate, mode=QuantMode(w=True, a=True),
+                         collect=INIT)
+        ours = np.asarray(unit.apply(params, ctx_u, *inps))
+
+        # reference: the module at the unit's path; upsample units are
+        # registered under their conv's name but include the preceding
+        # nearest-2x (openaimodel.py Upsample.forward), so use the parent
+        ref_path = unit.name
+        if unit.kind == "layer" and ref_path.endswith(".conv"):
+            ref_path = ref_path.rsplit(".conv", 1)[0]
+        mod = qnn.model.get_submodule(ref_path)
+        armed = [m for m in mod.modules()
+                 if isinstance(m, (QuantModule, BaseQuantBlock))]
+        assert armed, f"no quant modules under {ref_path}"
+        for m in armed:
+            m.set_quant_state(True, True)
+        _reset_act_quantizers(mod)
+        with torch.no_grad():
+            targs = tuple(_to_torch(i) for i in inps)
+            if unit.kind == "transformer":
+                out_ref = mod(targs[0], context=targs[1])
+            elif unit.kind == "resblock":
+                out_ref = mod(targs[0], targs[1])
+            else:
+                out_ref = mod(targs[0])
+        for m in armed:  # disarm: next unit must be the only quantized one
+            m.set_quant_state(False, False)
+        expected = _from_torch(out_ref)
+
+        rel = _rel(ours, expected)  # both NHWC / tokens
+        if not rel < 2e-3:
+            failures.append(f"{unit.name} ({unit.kind}): rel {rel:.2e}")
+
+        # per-site act deltas from identical inputs must agree tightly
+        for site, slots in ctx_u.collected.items():
+            if "a" not in slots:
+                continue
+            ref_aq = getattr(qnn.model.get_submodule(site), "act_quantizer",
+                             None)
+            if ref_aq is None or ref_aq.delta is None:
+                continue
+            mine = float(np.asarray(slots["a"]["delta"]).reshape(-1)[0])
+            theirs = float(ref_aq.delta.detach().reshape(-1)[0])
+            if abs(mine / theirs - 1.0) > 1e-3:
+                failures.append(
+                    f"{site} act delta: ours {mine:.6g} ref {theirs:.6g}")
+    assert not failures, "\n".join(failures)
 
 
 # ------------------------------------------------------------------ VAE f8
