@@ -26,14 +26,24 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the end-to-end headline programs are shape-only,
+# so repeat bench runs skip their remote compiles entirely (CLAUDE.md).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("QDT_COMPILE_CACHE",
+                   str(Path(__file__).resolve().parent / ".xla_cache")))
 
 BATCH = 64
 IMG = 32
 LOOP = 20
 VERBOSE = os.environ.get("BENCH_VERBOSE", "0") == "1"
+# BENCH_HEADLINE=0 skips the four end-to-end img/s configs (step metrics only)
+HEADLINE = os.environ.get("BENCH_HEADLINE", "1") == "1"
 _T0 = time.perf_counter()
 
 
@@ -185,6 +195,27 @@ def main():
 
     best_name, best_dt = min((("fold_w_only", fold_dt), ("int8_w8a8", int8_dt)),
                              key=lambda kv: kv[1])
+
+    # End-to-end sampling throughput at the reference's own headline metric
+    # (images/sec per batch over sampler + first-stage decode,
+    # sample_diffusion_ldm.py:126-133) for all four task presets — carried
+    # in the bench JSON so BENCH_r*.json and the docs can never desync.
+    headline_extra = {}
+    if HEADLINE:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "throughput_headline",
+            Path(__file__).resolve().parent / "scripts"
+            / "throughput_headline.py")
+        tput = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(tput)
+        keys = {"cifar10": "cifar_img_per_s", "lsun_beds256": "beds_img_per_s",
+                "lsun_churches256": "churches_img_per_s",
+                "sd_v1": "sd_img_per_s"}
+        for task, key in keys.items():
+            log(f"headline {task}")
+            headline_extra[key] = round(tput.bench_task(task), 3)
     # Headline `vs_baseline` is our best quantized engine vs what a user of
     # the reference actually deploys: its fp32 fake-quant simulation path
     # (qdiff/quant_layer.py:66-89), run on this same chip. That is the
@@ -206,6 +237,7 @@ def main():
         "vs_bf16": round(fp_dt / best_dt, 4),
         "int8_vs_bf16": round(fp_dt / int8_dt, 4),
         **attn_extra,
+        **headline_extra,
         "roofline_note": "docs/PERF_NOTES.md: v5e runs int8 MXU at 0.78x "
                          "bf16 rate and the step is conv-bound at ~93 "
                          "TFLOPs, so quantized-vs-bf16 is capped near 1.0; "

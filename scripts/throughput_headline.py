@@ -38,7 +38,10 @@ BATCH = {"cifar10": 64, "lsun_beds256": 8, "lsun_churches256": 8, "sd_v1": 4}
 
 
 def log(msg):
-    print(f"[tput +{time.perf_counter() - T0:.0f}s] {msg}", flush=True)
+    # stderr: bench.py imports this module and must keep stdout to the
+    # single JSON line the driver parses
+    print(f"[tput +{time.perf_counter() - T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def to_bf16(tree):
