@@ -21,9 +21,6 @@ import concurrent.futures as cf
 import sys
 import time
 from functools import partial
-from pathlib import Path
-
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -57,18 +54,22 @@ def run_mode(widths, threads):
     lowered = [make_lowered(w) for w in widths]
     t_lower = time.time() - t0
     t0 = time.time()
+
+    def timed_compile(low):
+        t1 = time.time()
+        low.compile()
+        return time.time() - t1
+
     if threads <= 1:
-        per = []
-        for low in lowered:
-            t1 = time.time()
-            low.compile()
-            per.append(time.time() - t1)
-        print(f"  per-compile: {[f'{p:.1f}' for p in per]}", flush=True)
+        per = [timed_compile(low) for low in lowered]
     else:
         with cf.ThreadPoolExecutor(max_workers=threads) as ex:
-            futs = [ex.submit(low.compile) for low in lowered]
-            for f in futs:
-                f.result()
+            per = [f.result()
+                   for f in [ex.submit(timed_compile, low)
+                             for low in lowered]]
+    # per-compile times distinguish true overlap (wall << sum(per)) from
+    # per-compile slowdown under contention (per grows with threads)
+    print(f"  per-compile: {[f'{p:.1f}' for p in per]}", flush=True)
     return t_lower, time.time() - t0
 
 
@@ -78,8 +79,11 @@ def main():
     # warm the tunnel / process once so neither mode pays first-RPC cost
     jax.jit(lambda x: x + 1)(jnp.ones((8, 128))).block_until_ready()
 
-    serial_widths = [512 + 256 * i for i in range(K)]
-    thread_widths = [640 + 256 * i for i in range(K)]
+    # interleave widths from ONE sequence so mean program size matches
+    # across modes (identical widths would let the server cache coalesce)
+    all_widths = [512 + 128 * i for i in range(2 * K)]
+    serial_widths = all_widths[0::2]
+    thread_widths = all_widths[1::2]
 
     t_lower, t_serial = run_mode(serial_widths, 1)
     print(f"serial:   lower {t_lower:.1f}s  compile {t_serial:.1f}s "
