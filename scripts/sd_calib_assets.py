@@ -45,7 +45,14 @@ def main():
     from qdiffusion_tpu.utils.checkpoints import save_nested
 
     torch.manual_seed(0)
-    hf = CLIPTextModel(HFConfig()).eval()  # default == SD v1's ViT-L tower
+    # SD v1's tower is ViT-L/14 (openai/clip-vit-large-patch14); the HF
+    # *default* CLIPTextConfig is base CLIP (d=512, 8 heads) — spell the
+    # ViT-L sizes out so the fixture matches the deployed geometry.
+    cfg = HFConfig(
+        vocab_size=49408, hidden_size=768, intermediate_size=3072,
+        num_hidden_layers=12, num_attention_heads=12,
+        max_position_embeddings=77, hidden_act="quick_gelu")
+    hf = CLIPTextModel(cfg).eval()
     save_nested(out / "clip.npz", convert_hf_clip_text(hf.state_dict()))
     print(f"clip.npz: ViT-L text tower "
           f"({sum(p.numel() for p in hf.parameters()) / 1e6:.0f}M params)")
