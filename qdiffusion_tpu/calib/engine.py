@@ -47,11 +47,11 @@ class CalibConfig:
     act_init_batch: int = 64
     sm_abit: int = 8
     skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
-    # Checkpoint snapshot cadence (units). Snapshots pull the FULL qstate
-    # to host — with AdaRound alphas that is ~weight-sized (140MB for the
-    # CIFAR UNet), measured ~10 min for the first pull through the axon
-    # tunnel — so per-unit snapshots would dominate the calibration.
-    # Resume granularity coarsens to at most ckpt_every re-done units.
+    # Checkpoint snapshot cadence (units). The first snapshot pulls the
+    # FULL qstate to host — with AdaRound alphas that is ~weight-sized
+    # (140MB CIFAR, ~3.4GB SD) — and later snapshots are incremental
+    # (only the sites reconstructed since the previous one), so the
+    # cadence mainly bounds how many units a crash re-does on resume.
     ckpt_every: int = 8
     # Grouped capture (calib/capture.py::GroupedCapture): shape-shared
     # capture programs over unit groups — ceil(N/G) compiles per mode
@@ -270,6 +270,12 @@ def calibrate(
             return gc.plan(names, params, cali_xs, cali_ts, cali_cs)
         return [(n,) for n in names]
 
+    # Sites touched since the last snapshot (reconstruct_unit writes
+    # unit.layer_names + the unit's own attention-slot site) — passed to
+    # the checkpointer so SD-scale snapshots are incremental instead of
+    # pulling the full weight-sized alpha tree every ckpt_every units.
+    pending_sites: set = set()
+
     # ---- weight rounding pass -------------------------------------------
     if start_phase == "weight":
         w_names = []
@@ -340,6 +346,8 @@ def calibrate(
                     model, params, qstate, unit, inps, out, cfg.weight,
                     act_quant=False, rng=sub, sm_abit=cfg.sm_abit,
                     cached_grads=grads)
+                pending_sites.update(unit.layer_names)
+                pending_sites.add(unit.name)
                 if checkpointer is not None or not cfg.pipeline:
                     # block on what the pass actually writes: weight recon
                     # updates ALPHA (delta is untouched and already
@@ -355,7 +363,9 @@ def calibrate(
                                 time.time() - t0)
                 if checkpointer is not None and \
                         (k + 1) % cfg.ckpt_every == 0:
-                    checkpointer.save(qstate, "weight", k)
+                    checkpointer.save(qstate, "weight", k,
+                                      sites=sorted(pending_sites))
+                    pending_sites.clear()
             del fp
     if start_phase == "weight":
         start_idx = 0
@@ -370,6 +380,9 @@ def calibrate(
         return qstate
 
     # ---- activation pass --------------------------------------------------
+    # act init + the running-stat sweep touch EVERY site, so the first
+    # act-phase snapshot must be a full base, not an increment.
+    act_full_snapshot = start_phase in ("weight", "act_init")
     if start_phase in ("weight", "act_init"):
         n_init = min(cfg.act_init_batch, cali_xs.shape[0])
         rng, sub = jax.random.split(rng)
@@ -425,8 +438,15 @@ def calibrate(
                                       cached_grads=grads)
             logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
                         len(model.units), name, time.time() - t0)
+            pending_sites.update(unit.layer_names)
+            pending_sites.add(unit.name)
             if checkpointer is not None and (k + 1) % cfg.ckpt_every == 0:
-                checkpointer.save(qstate, "act", k)
+                checkpointer.save(
+                    qstate, "act", k,
+                    sites=None if act_full_snapshot
+                    else sorted(pending_sites))
+                act_full_snapshot = False
+                pending_sites.clear()
         del fp
 
     if checkpointer is not None:

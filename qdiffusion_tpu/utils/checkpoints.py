@@ -95,11 +95,18 @@ def load_nested(path) -> dict:
     return tree
 
 
-def tree_to_host_packed(tree):
-    """Pull a pytree of device arrays to host numpy in ONE transfer per
-    dtype. Per-leaf np.asarray costs one round-trip per array on
-    remote-dispatch setups — a calibrated qstate has ~700 leaves, measured
-    ~10 minutes through the axon tunnel vs seconds for a packed pull."""
+def tree_to_host_packed(tree, max_chunk_bytes: int = 256 << 20):
+    """Pull a pytree of device arrays to host numpy in FEW transfers.
+    Per-leaf np.asarray costs one round-trip per array on remote-dispatch
+    setups — a calibrated qstate has ~700 leaves, measured ~10 minutes
+    through the axon tunnel vs seconds for a packed pull.
+
+    Packing is chunked at `max_chunk_bytes` per device-side concatenation:
+    an unbounded pack of an SD-scale qstate (~3.4 GB of weight-shaped
+    AdaRound alphas) allocates the whole packed copy NEXT TO params +
+    capture buffers and OOM'd the 16 GB v5e mid-calibration
+    (runs/logs_r4_sd/calibrate.log). Chunking bounds the spike while
+    keeping transfers O(total/chunk) instead of O(leaves)."""
     import jax
     import jax.numpy as jnp
 
@@ -111,14 +118,29 @@ def tree_to_host_packed(tree):
         by_dtype.setdefault(jnp.result_type(a).name, []).append(i)
     host_leaves: list = [None] * len(leaves)
     for dt, idxs in by_dtype.items():
-        packed = np.asarray(jnp.concatenate(
-            [jnp.ravel(jnp.asarray(leaves[i])) for i in idxs]))
-        off = 0
+        itemsize = np.dtype(dt).itemsize
+        chunks: list = []
+        cur: list = []
+        cur_bytes = 0
         for i in idxs:
             shape = np.shape(leaves[i])
-            n = int(np.prod(shape)) if shape else 1
-            host_leaves[i] = packed[off:off + n].reshape(shape)
-            off += n
+            nbytes = (int(np.prod(shape)) if shape else 1) * itemsize
+            if cur and cur_bytes + nbytes > max_chunk_bytes:
+                chunks.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += nbytes
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            packed = np.asarray(jnp.concatenate(
+                [jnp.ravel(jnp.asarray(leaves[i])) for i in chunk]))
+            off = 0
+            for i in chunk:
+                shape = np.shape(leaves[i])
+                n = int(np.prod(shape)) if shape else 1
+                host_leaves[i] = packed[off:off + n].reshape(shape)
+                off += n
     return jax.tree_util.tree_unflatten(treedef, host_leaves)
 
 
@@ -150,31 +172,62 @@ def load_qstate(path) -> dict:
 
 
 class CalibCheckpointer:
-    """Snapshot qstate after each reconstructed unit so a crashed
-    calibration resumes where it stopped."""
+    """Snapshot qstate at the engine's ckpt_every cadence so a crashed
+    calibration resumes where it stopped (reference behavior replaced:
+    mid-calibration temp ckpts, txt2img.py:422-428).
+
+    Snapshots are INCREMENTAL: one full base (`qstate_wip.npz`) plus
+    per-snapshot `qstate_inc_*.npz` files holding only the sites
+    reconstructed since the previous snapshot. At SD scale the qstate is
+    weight-sized (AdaRound alphas ~3.4 GB f32 for the 860M-param UNet);
+    pulling and rewriting all of it every few units would dominate the
+    calibration wall time — an increment is a few units' sites instead.
+    `load()` replays base + increments in order (site-level replace;
+    every increment carries complete per-site dicts)."""
 
     def __init__(self, run_dir):
         self.dir = Path(run_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.marker = self.dir / "calib_progress.json"
+        self._n_inc: Optional[int] = None  # None = no base written/loaded
+
+    def _inc_path(self, i: int) -> Path:
+        return self.dir / f"qstate_inc_{i:04d}.npz"
 
     def load(self) -> Tuple[Optional[dict], Optional[dict]]:
         if not self.marker.exists():
             return None, None
         progress = json.loads(self.marker.read_text())
         qstate = load_qstate(self.dir / "qstate_wip.npz")
+        n_inc = int(progress.get("n_inc", 0))
+        for i in range(n_inc):
+            qstate.update(load_qstate(self._inc_path(i)))
+        self._n_inc = n_inc
         logger.info("resuming calibration from %s", progress)
         return qstate, progress
 
-    def save(self, qstate: dict, phase: str, unit_idx: int) -> None:
-        save_qstate(self.dir / "qstate_wip.npz", qstate)
+    def save(self, qstate: dict, phase: str, unit_idx: int,
+             sites=None) -> None:
+        """`sites`: names changed since the previous save; None forces a
+        full base snapshot (also forced when no base exists yet)."""
+        if self._n_inc is None or sites is None:
+            save_qstate(self.dir / "qstate_wip.npz", qstate)
+            for p in self.dir.glob("qstate_inc_*.npz"):
+                p.unlink()
+            self._n_inc = 0
+        else:
+            delta = {s: qstate[s] for s in sites if s in qstate}
+            save_qstate(self._inc_path(self._n_inc), delta)
+            self._n_inc += 1
         self.marker.write_text(json.dumps(
-            {"phase": phase, "unit_idx": unit_idx}))
+            {"phase": phase, "unit_idx": unit_idx, "n_inc": self._n_inc}))
 
     def finalize(self, qstate: dict) -> None:
         save_qstate(self.dir / "qstate.npz", qstate)
         if self.marker.exists():
             self.marker.unlink()
+        for p in self.dir.glob("qstate_inc_*.npz"):
+            p.unlink()
 
 
 # ---------------------------------------------------------------------------

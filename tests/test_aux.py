@@ -90,6 +90,57 @@ def test_qstate_checkpoint_roundtrip(tmp_path):
         "delta", "zero_point", "x_min", "x_max"}
 
 
+def test_tree_to_host_packed_chunked():
+    """Chunked device->host packing (the SD-scale OOM fix): identical
+    results for any max_chunk_bytes, incl. one forcing per-leaf chunks
+    and one smaller than the largest single leaf."""
+    from qdiffusion_tpu.utils.checkpoints import tree_to_host_packed
+
+    rng = np.random.default_rng(0)
+    tree = {"a": jnp.asarray(rng.normal(size=(7, 5)).astype(np.float32)),
+            "b": {"c": jnp.asarray(rng.normal(size=(129,)).astype(np.float32)),
+                  "d": jnp.asarray(np.int32(3)),
+                  "e": jnp.asarray(rng.normal(size=(64,)).astype(np.float32))}}
+    want = jax.tree_util.tree_map(np.asarray, tree)
+    for max_bytes in (1, 200, 1 << 30):
+        got = tree_to_host_packed(tree, max_chunk_bytes=max_bytes)
+        assert all(isinstance(l, np.ndarray)
+                   for l in jax.tree_util.tree_leaves(got))
+        jax.tree_util.tree_map(np.testing.assert_array_equal, want, got)
+
+
+def test_calib_checkpointer_incremental(tmp_path):
+    """Incremental snapshots: base + site increments replay to the same
+    qstate, and increments only carry the changed sites."""
+    from qdiffusion_tpu.utils.checkpoints import CalibCheckpointer, load_qstate
+
+    rng = np.random.default_rng(1)
+    mk = lambda: {"w": {"delta": rng.normal(size=(4,)).astype(np.float32)}}
+    qstate = {f"site{i}": mk() for i in range(4)}
+
+    ck = CalibCheckpointer(tmp_path)
+    ck.save(qstate, "weight", 0, sites=["site0"])  # no base yet -> full
+    assert (tmp_path / "qstate_wip.npz").exists()
+    qstate["site1"] = mk()
+    ck.save(qstate, "weight", 1, sites=["site1"])
+    inc = load_qstate(tmp_path / "qstate_inc_0000.npz")
+    assert set(inc) == {"site1"}
+    qstate["site2"] = mk()
+    qstate["site3"] = mk()
+    ck.save(qstate, "weight", 3, sites=["site2", "site3"])
+
+    ck2 = CalibCheckpointer(tmp_path)
+    back, progress = ck2.load()
+    assert progress == {"phase": "weight", "unit_idx": 3, "n_inc": 2}
+    jax.tree_util.tree_map(np.testing.assert_array_equal, qstate, back)
+    # a later full save (sites=None) clears the increments
+    ck2.save(qstate, "act", 0, sites=None)
+    assert not list(tmp_path.glob("qstate_inc_*.npz"))
+    ck2.finalize(qstate)
+    assert (tmp_path / "qstate.npz").exists()
+    assert not (tmp_path / "calib_progress.json").exists()
+
+
 def test_bert_text_parity():
     if not REF.exists():
         pytest.skip("reference repo not mounted")

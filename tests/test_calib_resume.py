@@ -1,10 +1,9 @@
 """Resumable calibration: crash mid-pass, resume from the snapshot.
 
-Covers CalibCheckpointer + the engine's ckpt_every cadence (snapshots
-pull the full qstate to host — weight-sized with AdaRound alphas — so
-they are taken every `ckpt_every` units, not every unit). Reference
-behavior being replaced: mid-calibration temp checkpoints,
-txt2img.py:422-428."""
+Covers CalibCheckpointer + the engine's ckpt_every cadence (the first
+snapshot pulls the full qstate — weight-sized with AdaRound alphas —
+and later snapshots are site increments). Reference behavior being
+replaced: mid-calibration temp checkpoints, txt2img.py:422-428."""
 
 import numpy as np
 import pytest
