@@ -47,11 +47,12 @@ class CalibConfig:
     act_init_batch: int = 64
     sm_abit: int = 8
     skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
-    # Checkpoint snapshot cadence (units). The first snapshot pulls the
-    # FULL qstate to host — with AdaRound alphas that is ~weight-sized
-    # (140MB CIFAR, ~3.4GB SD) — and later snapshots are incremental
-    # (only the sites reconstructed since the previous one), so the
-    # cadence mainly bounds how many units a crash re-does on resume.
+    # Checkpoint snapshot cadence (units). Each phase writes ONE full base
+    # snapshot before its unit loop starts (only params + qstate resident
+    # — pulling the weight-sized alpha tree next to live capture buffers
+    # OOM'd the v5e at SD scale, runs/logs_r4_sd); every in-loop snapshot
+    # is an increment of the sites reconstructed since the previous one,
+    # so the cadence mainly bounds how many units a crash re-does.
     ckpt_every: int = 8
     # Grouped capture (calib/capture.py::GroupedCapture): shape-shared
     # capture programs over unit groups — ceil(N/G) compiles per mode
@@ -196,12 +197,10 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
                 yield low
 
     if inline:
+        runner_lowereds = list(_runner_lowereds())
+        t_lower = time.time() - t0  # lowering done; compiles follow
         n_progs = 0
-        for low in lowered:
-            low.compile()
-            n_progs += 1
-        t_lower = time.time() - t0
-        for low in _runner_lowereds():
+        for low in lowered + runner_lowereds:
             low.compile()
             n_progs += 1
     else:
@@ -304,6 +303,18 @@ def calibrate(
             qstate = jax.jit(_pre_init)(params, qstate)
             logger.info("adaround alphas pre-initialized "
                         "(constant capture-program structure)")
+        if checkpointer is not None and not checkpointer.has_base:
+            # Write the FULL base snapshot NOW, while only params + qstate
+            # are resident: alphas are already pre-initialized (final
+            # pytree structure) and no group capture buffers exist yet.
+            # Pulling the weight-sized alpha tree (~3.4 GB at SD scale)
+            # mid-loop next to live capture buffers OOM'd the 16 GB v5e
+            # (round-4 runs, unit 8/80); from here every in-loop save is
+            # an increment of a few units' sites.
+            t0 = time.time()
+            checkpointer.save(qstate, "weight", start_idx - 1, sites=None)
+            logger.info("base qstate snapshot written (%.1fs)",
+                        time.time() - t0)
         w_groups = _plan(w_names)
         if (cfg.precompile and gc is not None and w_names
                 and cfg.weight.opt_mode == "mse"):
@@ -380,9 +391,6 @@ def calibrate(
         return qstate
 
     # ---- activation pass --------------------------------------------------
-    # act init + the running-stat sweep touch EVERY site, so the first
-    # act-phase snapshot must be a full base, not an increment.
-    act_full_snapshot = start_phase in ("weight", "act_init")
     if start_phase in ("weight", "act_init"):
         n_init = min(cfg.act_init_batch, cali_xs.shape[0])
         rng, sub = jax.random.split(rng)
@@ -399,6 +407,16 @@ def calibrate(
                                       cali_cs, sm_only=cfg.rs_sm_only)
             logger.info("running-stat EMA sweep done")
         start_idx = 0
+        if checkpointer is not None:
+            # act init + the running-stat sweep touch EVERY site, so the
+            # act phase needs a fresh full base — written HERE, before the
+            # unit loop allocates capture buffers (same OOM avoidance as
+            # the weight-pass base above).
+            t0 = time.time()
+            checkpointer.save(qstate, "act", -1, sites=None)
+            pending_sites.clear()
+            logger.info("act-phase base qstate snapshot written (%.1fs)",
+                        time.time() - t0)
 
     a_names = [u.name for u in model.units if u.name not in cfg.skip_units]
     a_groups = _plan(a_names)
@@ -441,11 +459,8 @@ def calibrate(
             pending_sites.update(unit.layer_names)
             pending_sites.add(unit.name)
             if checkpointer is not None and (k + 1) % cfg.ckpt_every == 0:
-                checkpointer.save(
-                    qstate, "act", k,
-                    sites=None if act_full_snapshot
-                    else sorted(pending_sites))
-                act_full_snapshot = False
+                checkpointer.save(qstate, "act", k,
+                                  sites=sorted(pending_sites))
                 pending_sites.clear()
         del fp
 

@@ -108,7 +108,12 @@ class CIFAR10:
             with open(p, "rb") as fh:
                 d = pickle.load(fh, encoding="bytes")
             data.append(d[b"data"])
-            labels.extend(d.get(b"labels", d.get(b"fine_labels", [])))
+            # fail at load time on a batch with neither key (torchvision,
+            # which the reference's loaders inherit, raises KeyError here;
+            # a silent [] default would surface later as an IndexError in
+            # __getitem__, far from the cause)
+            labels.extend(d[b"labels"] if b"labels" in d
+                          else d[b"fine_labels"])
         raw = np.concatenate(data).reshape(-1, 3, 32, 32)
         self.images = np.transpose(raw, (0, 2, 3, 1)).astype(np.float32) / 255.0
         self.labels = np.asarray(labels, np.int32)

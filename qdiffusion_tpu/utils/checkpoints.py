@@ -176,20 +176,26 @@ class CalibCheckpointer:
     calibration resumes where it stopped (reference behavior replaced:
     mid-calibration temp ckpts, txt2img.py:422-428).
 
-    Snapshots are INCREMENTAL: one full base (`qstate_wip.npz`) plus
-    per-snapshot `qstate_inc_*.npz` files holding only the sites
-    reconstructed since the previous snapshot. At SD scale the qstate is
-    weight-sized (AdaRound alphas ~3.4 GB f32 for the 860M-param UNet);
-    pulling and rewriting all of it every few units would dominate the
-    calibration wall time — an increment is a few units' sites instead.
-    `load()` replays base + increments in order (site-level replace;
-    every increment carries complete per-site dicts)."""
+    Snapshots are INCREMENTAL: one full base (`qstate_wip.npz`) written
+    by the engine BEFORE each phase's unit loop (when no capture buffers
+    are resident on device), plus per-snapshot `qstate_inc_*.npz` files
+    holding only the sites reconstructed since the previous snapshot. At
+    SD scale the qstate is weight-sized (AdaRound alphas ~3.4 GB f32 for
+    the 860M-param UNet); pulling all of it mid-loop OOM'd the 16 GB
+    v5e (round 4), and rewriting it every few units would dominate wall
+    time — an increment is a few units' sites instead. `load()` replays
+    base + increments in order (site-level replace; every increment
+    carries complete per-site dicts)."""
 
     def __init__(self, run_dir):
         self.dir = Path(run_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.marker = self.dir / "calib_progress.json"
         self._n_inc: Optional[int] = None  # None = no base written/loaded
+
+    @property
+    def has_base(self) -> bool:
+        return self._n_inc is not None
 
     def _inc_path(self, i: int) -> Path:
         return self.dir / f"qstate_inc_{i:04d}.npz"
@@ -209,18 +215,37 @@ class CalibCheckpointer:
     def save(self, qstate: dict, phase: str, unit_idx: int,
              sites=None) -> None:
         """`sites`: names changed since the previous save; None forces a
-        full base snapshot (also forced when no base exists yet)."""
+        full base snapshot (also forced when no base exists yet).
+
+        A full base pulls the ENTIRE qstate to host — at SD scale the
+        AdaRound alpha tree is weight-sized (~3.4 GB f32 for the 860M
+        UNet), and doing that mid-loop next to live capture buffers
+        OOM'd the 16 GB v5e three times in round 4
+        (runs/logs_r4_sd/calibrate*.log). The engine therefore writes
+        the base at a buffer-free point BEFORE each unit loop
+        (engine.calibrate) and every in-loop save is an increment;
+        `sites=None` here is only for those loop-entry base writes.
+
+        Crash-safety ordering in the full branch: base, then marker
+        (n_inc=0), then the old increments. A crash after the marker
+        rewrite leaves orphaned inc files that n_inc=0 ignores; the old
+        order left a marker whose n_inc pointed at deleted files, so the
+        very crash this checkpointer exists for (e.g. an OOM kill)
+        broke the subsequent load()."""
         if self._n_inc is None or sites is None:
             save_qstate(self.dir / "qstate_wip.npz", qstate)
+            self._n_inc = 0
+            self.marker.write_text(json.dumps(
+                {"phase": phase, "unit_idx": unit_idx, "n_inc": 0}))
             for p in self.dir.glob("qstate_inc_*.npz"):
                 p.unlink()
-            self._n_inc = 0
         else:
             delta = {s: qstate[s] for s in sites if s in qstate}
             save_qstate(self._inc_path(self._n_inc), delta)
             self._n_inc += 1
-        self.marker.write_text(json.dumps(
-            {"phase": phase, "unit_idx": unit_idx, "n_inc": self._n_inc}))
+            self.marker.write_text(json.dumps(
+                {"phase": phase, "unit_idx": unit_idx,
+                 "n_inc": self._n_inc}))
 
     def finalize(self, qstate: dict) -> None:
         save_qstate(self.dir / "qstate.npz", qstate)

@@ -141,6 +141,49 @@ def test_calib_checkpointer_incremental(tmp_path):
     assert not (tmp_path / "calib_progress.json").exists()
 
 
+def test_calib_checkpointer_crash_window(tmp_path):
+    """A full save writes the marker (n_inc=0) BEFORE deleting old
+    increments: a crash mid-full-save must never leave a marker whose
+    n_inc points at deleted inc files (that breaks the very crash-resume
+    this checkpointer exists for — ADVICE r4)."""
+    import json
+
+    from qdiffusion_tpu.utils.checkpoints import CalibCheckpointer
+
+    rng = np.random.default_rng(2)
+    mk = lambda: {"w": {"delta": rng.normal(size=(4,)).astype(np.float32)}}
+    qstate = {f"site{i}": mk() for i in range(3)}
+
+    ck = CalibCheckpointer(tmp_path)
+    ck.save(qstate, "weight", -1, sites=None)  # base
+    qstate["site1"] = mk()
+    ck.save(qstate, "weight", 1, sites=["site1"])  # increment 0
+
+    # simulate the crash window: full save that dies AFTER the base +
+    # marker writes but BEFORE unlinking old increments
+    real_unlink = Path.unlink
+
+    def dying_unlink(self, *a, **kw):
+        if self.name.startswith("qstate_inc_"):
+            raise RuntimeError("simulated crash mid-unlink")
+        return real_unlink(self, *a, **kw)
+
+    qstate["site2"] = mk()
+    import unittest.mock as mock
+    with mock.patch.object(Path, "unlink", dying_unlink):
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ck.save(qstate, "act", -1, sites=None)
+
+    # marker already says n_inc=0, so the orphaned inc file is ignored
+    # and load() restores the freshly written base
+    marker = json.loads((tmp_path / "calib_progress.json").read_text())
+    assert marker == {"phase": "act", "unit_idx": -1, "n_inc": 0}
+    assert list(tmp_path.glob("qstate_inc_*.npz"))  # orphan survives
+    back, progress = CalibCheckpointer(tmp_path).load()
+    assert progress["n_inc"] == 0
+    jax.tree_util.tree_map(np.testing.assert_array_equal, qstate, back)
+
+
 def test_bert_text_parity():
     if not REF.exists():
         pytest.skip("reference repo not mounted")

@@ -1,9 +1,10 @@
 """Resumable calibration: crash mid-pass, resume from the snapshot.
 
-Covers CalibCheckpointer + the engine's ckpt_every cadence (the first
-snapshot pulls the full qstate — weight-sized with AdaRound alphas —
-and later snapshots are site increments). Reference behavior being
-replaced: mid-calibration temp checkpoints, txt2img.py:422-428."""
+Covers CalibCheckpointer + the engine's ckpt_every cadence (each phase
+writes one full-base snapshot at unit-loop entry — before capture
+buffers are live, the round-4 SD OOM site — and every in-loop snapshot
+is a site increment). Reference behavior being replaced:
+mid-calibration temp checkpoints, txt2img.py:422-428."""
 
 import numpy as np
 import pytest
