@@ -46,6 +46,14 @@ class CalibConfig:
     capture_batch: int = 8
     act_init_batch: int = 64
     sm_abit: int = 8
+    # AdaRound alpha STORAGE dtype. 'bfloat16' halves the weight-sized
+    # alpha tree's HBM residency (~3.4 GB -> 1.7 GB for the 860M SD UNet
+    # — the dominant constant next to params during SD-scale calibration,
+    # runs/logs_r4_sd OOMs); optimization still accumulates in f32
+    # (recon runners upcast at entry, downcast once at exit), so the only
+    # loss is one bf16 rounding of the final alpha — the rectified
+    # sigmoid h(alpha) and the alpha>=0 hard threshold are insensitive.
+    alpha_dtype: str = "float32"
     skip_units: Tuple[str, ...] = ()  # names excluded from reconstruction
     # Checkpoint snapshot cadence (units). Each phase writes ONE full base
     # snapshot before its unit loop starts (only params + qstate resident
@@ -192,7 +200,8 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
             inps, out = shapes[n]
             low = lower_unit_runner(
                 model, params, qstate, unit, rcfg, act_quant=act_quant,
-                sm_abit=cfg.sm_abit, inps_shapes=inps, out_shape=out)
+                sm_abit=cfg.sm_abit, inps_shapes=inps, out_shape=out,
+                alpha_dtype=cfg.alpha_dtype)
             if low is not None:
                 yield low
 
@@ -297,7 +306,8 @@ def calibrate(
             def _pre_init(p, q):
                 for n in w_names:
                     q = init_adaround_unit(model, p, q, unit_by_name[n][1],
-                                           skip_existing=True)
+                                           skip_existing=True,
+                                           alpha_dtype=cfg.alpha_dtype)
                 return q
 
             qstate = jax.jit(_pre_init)(params, qstate)
@@ -326,6 +336,14 @@ def calibrate(
                 continue
             fp = (gc.fp_capture(params, group, cali_xs, cali_ts, cali_cs)
                   if gc is not None else None)
+            if fp is not None and cfg.asym:
+                # asym recon only reads the FP OUTPUT (the target); the
+                # inputs come from the quantized-prefix sweep. Free the
+                # FP input buffers now — they are ~half the group's
+                # capture bytes held across every recon in the group
+                # (part of the SD-scale residency that OOM'd the v5e,
+                # runs/logs_r4_sd + logs_r5_sd first attempt).
+                fp = {n: (None, out) for n, (inp, out) in fp.items()}
             for name in group:
                 k, unit = unit_by_name[name]
                 if k < start_idx:
@@ -356,7 +374,9 @@ def calibrate(
                 qstate = reconstruct_unit(
                     model, params, qstate, unit, inps, out, cfg.weight,
                     act_quant=False, rng=sub, sm_abit=cfg.sm_abit,
-                    cached_grads=grads)
+                    cached_grads=grads, alpha_dtype=cfg.alpha_dtype)
+                if fp is not None:
+                    fp.pop(name, None)  # free this unit's capture buffers
                 pending_sites.update(unit.layer_names)
                 pending_sites.add(unit.name)
                 if checkpointer is not None or not cfg.pipeline:
@@ -454,6 +474,11 @@ def calibrate(
                                       out, cfg.act, act_quant=True, rng=sub,
                                       sm_abit=cfg.sm_abit,
                                       cached_grads=grads)
+            if fp is not None:
+                # drop the dict's reference — the local inps/out (and the
+                # in-flight recon's own buffer refs) keep the arrays alive
+                # exactly until the next unit rebinds them
+                fp.pop(name, None)
             logger.info("[%d/%d] act recon    %-28s %.1fs", k + 1,
                         len(model.units), name, time.time() - t0)
             pending_sites.update(unit.layer_names)

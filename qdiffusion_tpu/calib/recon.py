@@ -51,7 +51,8 @@ class ReconConfig:
 
 
 def init_adaround_unit(model, params: dict, qstate: dict, unit, *,
-                       skip_existing: bool = False) -> dict:
+                       skip_existing: bool = False,
+                       alpha_dtype=None) -> dict:
     """Add AdaRound alpha leaves to every weight quantizer in `unit`
     (reference block_recon.py:47-61: swap UniformAffineQuantizer ->
     AdaRoundQuantizer, split-aware).
@@ -60,7 +61,11 @@ def init_adaround_unit(model, params: dict, qstate: dict, unit, *,
     engine's upfront all-unit pre-init (keeps the asym-capture program's
     qstate STRUCTURE constant across the weight pass, so the grouped
     capture program never retraces) without clobbering optimized alphas
-    on checkpoint resume."""
+    on checkpoint resume.
+
+    alpha_dtype: storage dtype for new alpha leaves (CalibConfig.
+    alpha_dtype; bfloat16 halves the weight-sized alpha tree at SD
+    scale — see adaround_init_alpha)."""
     from qdiffusion_tpu.models.unet_ddim import _sub  # tree access helper
 
     new = dict(qstate)
@@ -74,14 +79,16 @@ def init_adaround_unit(model, params: dict, qstate: dict, unit, *,
                 if skip_existing and "alpha" in lstate[slot]:
                     continue
                 st = dict(lstate[slot])
-                st["alpha"] = adaround_init_alpha(ww, st["delta"])
+                st["alpha"] = adaround_init_alpha(ww, st["delta"],
+                                                  dtype=alpha_dtype)
                 lstate[slot] = st
         else:
             if skip_existing and "alpha" in lstate["w"]:
                 new[lname] = lstate
                 continue
             st = dict(lstate["w"])
-            st["alpha"] = adaround_init_alpha(w, st["delta"])
+            st["alpha"] = adaround_init_alpha(w, st["delta"],
+                                              dtype=alpha_dtype)
             lstate["w"] = st
         new[lname] = lstate
     return new
@@ -221,12 +228,16 @@ def reconstruct_unit(
     rng: Optional[jax.Array] = None,
     sm_abit: int = 8,
     cached_grads: Optional[Array] = None,
+    alpha_dtype=None,
 ) -> dict:
     """Optimize the unit's rounding (act_quant=False) or act deltas
     (act_quant=True); returns the updated full qstate.
 
     cached_grads: Fisher weights aligned with cached_out (required when
-    cfg.opt_mode != 'mse'; see calib/fisher.py)."""
+    cfg.opt_mode != 'mse'; see calib/fisher.py).
+    alpha_dtype: AdaRound alpha storage dtype (CalibConfig.alpha_dtype) —
+    must match the engine's pre-init so the runner cache key (leaf
+    dtypes) hits the precompiled program."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
     mode = "act" if act_quant else "weight"
@@ -234,7 +245,8 @@ def reconstruct_unit(
         assert cached_grads is not None, "fisher modes need cached grads"
 
     if not act_quant:
-        qstate = init_adaround_unit(model, params, qstate, unit)
+        qstate = init_adaround_unit(model, params, qstate, unit,
+                                    alpha_dtype=alpha_dtype)
 
     key, arg_tree, p_paths, q_sites = _canonical_args(
         params, qstate, unit, mode, cfg, sm_abit, cached_inps, cached_out,
@@ -354,6 +366,15 @@ def _get_runner(key, cfg: ReconConfig, mode: str, sm_abit: int,
 
         @jax.jit
         def run(train0_, sub_p, sub_q, inps, out, fgrads, key_):
+            # Optimize in f32 regardless of the STORAGE dtype: bf16 alpha
+            # storage (engine alpha_dtype) must not degrade Adam's
+            # accumulation — one downcast happens at exit, after which
+            # only the rectified-sigmoid argument (and the alpha >= 0
+            # hard-rounding threshold) see the rounded value.
+            store_dtypes = jax.tree_util.tree_map(
+                lambda a: a.dtype, train0_)
+            train0_ = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), train0_)
             n_ = inps[0].shape[0]
 
             def body(i, carry):
@@ -376,7 +397,8 @@ def _get_runner(key, cfg: ReconConfig, mode: str, sm_abit: int,
             opt_state = opt.init(train0_)
             train, _, _ = jax.lax.fori_loop(
                 0, cfg.iters, body, (train0_, opt_state, key_))
-            return train
+            return jax.tree_util.tree_map(
+                lambda a, d: a.astype(d), train, store_dtypes)
 
         cached = (run, cell)
         _RUN_CACHE[key] = cached
@@ -385,7 +407,7 @@ def _get_runner(key, cfg: ReconConfig, mode: str, sm_abit: int,
 
 def lower_unit_runner(model, params: dict, qstate: dict, unit, cfg: ReconConfig,
                       *, act_quant: bool, sm_abit: int = 8,
-                      inps_shapes, out_shape):
+                      inps_shapes, out_shape, alpha_dtype=None):
     """AOT entry for the calibration precompiler (engine.CalibConfig.
     precompile): build (or fetch) the runner this unit's reconstruction
     will use and return the jax `Lowered` for its exact call signature.
@@ -402,7 +424,8 @@ def lower_unit_runner(model, params: dict, qstate: dict, unit, cfg: ReconConfig,
     mode = "act" if act_quant else "weight"
     if not act_quant:
         qstate = jax.eval_shape(
-            lambda p, q: init_adaround_unit(model, p, q, unit),
+            lambda p, q: init_adaround_unit(model, p, q, unit,
+                                            alpha_dtype=alpha_dtype),
             params, qstate)
     key, arg_tree, p_paths, q_sites = _canonical_args(
         params, qstate, unit, mode, cfg, sm_abit, tuple(inps_shapes),

@@ -253,7 +253,9 @@ def cmd_calibrate(args):
         cali_st=args.cali_st, cali_n=args.cali_n,
         cali_batch_size=args.cali_batch_size, cali_iters=args.cali_iters,
         cali_iters_a=args.cali_iters_a, cali_lr=args.cali_lr,
-        cali_p=args.cali_p, precompile=args.precompile)
+        cali_p=args.cali_p, precompile=args.precompile,
+        alpha_dtype=args.alpha_dtype,
+        capture_group_bytes=int(args.capture_group_mb) << 20)
     task = resolve_task(args)
     run_dir = setup_run_dir(args.logdir, f"calib-{task.name}")
     dump_config(run_dir, {"task": task, "quant": qflags, "argv": sys.argv})
@@ -715,6 +717,15 @@ def main(argv=None):
     sp.add_argument("--cali-iters-a", type=int, default=5000)
     sp.add_argument("--cali-lr", type=float, default=4e-4)
     sp.add_argument("--cali-p", type=float, default=2.4)
+    sp.add_argument("--capture-group-mb", type=int, default=3072,
+                    help="grouped-capture residency cap in MB (smaller = "
+                         "more groups/compiles, lower HBM peak)")
+    sp.add_argument("--alpha-dtype", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="AdaRound alpha storage dtype; bfloat16 halves "
+                         "the weight-sized alpha tree's HBM residency "
+                         "(required headroom for SD-scale calibration on "
+                         "a 16 GB chip) — optimization still runs in f32")
     sp.add_argument("--precompile", type=int, default=1, metavar="N",
                     help="AOT-compile recon runners + capture sweeps on N "
                          "background threads before each unit loop (0=off)")

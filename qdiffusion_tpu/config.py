@@ -61,6 +61,11 @@ class QuantFlags:
     cali_lr: float = 4e-4
     cali_p: float = 2.4
     precompile: int = 1  # AOT compile threads for recon/capture programs
+    alpha_dtype: str = "float32"  # AdaRound alpha storage dtype
+    # ('bfloat16' halves the weight-sized alpha tree — see
+    # calib.engine.CalibConfig.alpha_dtype)
+    capture_group_bytes: int = 3 << 30  # grouped-capture residency cap
+    # (smaller = more groups = more compiles but lower HBM peak)
 
     def policy_ddim(self) -> QuantPolicy:
         """CIFAR policy: 'max' scale methods (sample_diffusion_ddim.py:129-139)."""
@@ -93,7 +98,8 @@ class QuantFlags:
                             lr=self.cali_lr, p=self.cali_p),
             quant_act=self.quant_act, running_stat=self.running_stat,
             rs_sm_only=self.rs_sm_only, sm_abit=self.sm_abit,
-            precompile=self.precompile)
+            precompile=self.precompile, alpha_dtype=self.alpha_dtype,
+            capture_group_bytes=self.capture_group_bytes)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,10 +25,20 @@ GAMMA, ZETA = -0.1, 1.1
 __all__ = ["adaround_init_alpha", "adaround_soft_targets", "adaround_quant"]
 
 
-def adaround_init_alpha(w: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
-    """alpha such that sigmoid(alpha) == frac(w/delta) (adaptive_rounding.py:66-74)."""
+def adaround_init_alpha(w: jnp.ndarray, delta: jnp.ndarray,
+                        dtype=None) -> jnp.ndarray:
+    """alpha such that sigmoid(alpha) == frac(w/delta) (adaptive_rounding.py:66-74).
+
+    dtype: storage dtype for the alpha leaf (default: w's dtype). bfloat16
+    halves the weight-sized alpha tree's HBM residency (~3.4 GB -> 1.7 GB
+    for the 860M SD UNet) — the optimizer still accumulates in f32
+    (recon.py upcasts at runner entry and casts back on exit), so only the
+    stored value is rounded; alpha parameterizes a rectified sigmoid in
+    (-0.1, 1.1) and the hard-rounding threshold is alpha >= 0, both
+    insensitive at bf16's ~3-digit precision."""
     rest = w / delta - jnp.floor(w / delta)  # [0, 1)
-    return -jnp.log((ZETA - GAMMA) / (rest - GAMMA) - 1)
+    alpha = -jnp.log((ZETA - GAMMA) / (rest - GAMMA) - 1)
+    return alpha.astype(dtype) if dtype is not None else alpha
 
 
 def adaround_soft_targets(alpha: jnp.ndarray) -> jnp.ndarray:

@@ -145,13 +145,22 @@ def tree_to_host_packed(tree, max_chunk_bytes: int = 256 << 20):
 
 
 def save_qstate(path, qstate: dict) -> None:
-    """qstate: {site: {slot: {leaf: array}}} -> npz with '/'-joined keys."""
+    """qstate: {site: {slot: {leaf: array}}} -> npz with '/'-joined keys.
+
+    bfloat16 leaves (CalibConfig.alpha_dtype='bfloat16' AdaRound alphas)
+    are stored as uint16 views under a '#bf16'-suffixed key: np.savez
+    silently degrades ml_dtypes arrays to void records that np.load
+    cannot interpret."""
     qstate = tree_to_host_packed(qstate)
     flat = {}
     for site, slots in qstate.items():
         for slot, st in slots.items():
             for leaf, arr in st.items():
-                flat[f"{site}/{slot}/{leaf}"] = np.asarray(arr)
+                arr = np.asarray(arr)
+                key = f"{site}/{slot}/{leaf}"
+                if arr.dtype == np.dtype("bfloat16"):
+                    key, arr = key + "#bf16", arr.view(np.uint16)
+                flat[key] = arr
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **flat)
@@ -161,8 +170,11 @@ def load_qstate(path) -> dict:
     data = np.load(Path(path), allow_pickle=False)
     qstate: dict = {}
     for key in data.files:
+        arr = data[key]
+        if key.endswith("#bf16"):
+            key, arr = key[: -len("#bf16")], arr.view(np.dtype("bfloat16"))
         site, slot, leaf = key.rsplit("/", 2)
-        qstate.setdefault(site, {}).setdefault(slot, {})[leaf] = data[key]
+        qstate.setdefault(site, {}).setdefault(slot, {})[leaf] = arr
     return qstate
 
 

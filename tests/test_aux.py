@@ -268,3 +268,18 @@ def test_lr_schedules_match_reference():
     for n in range(0, 300, 7):
         np.testing.assert_allclose(float(s2(n)), r2(n), rtol=1e-12), n
         np.testing.assert_allclose(float(s3(n)), r3(n), rtol=1e-12), n
+
+
+def test_docs_in_sync_with_newest_bench():
+    """Doc truth-sync is a suite invariant (round-3/4 verdicts both
+    flagged stale README/PERF_NOTES numbers and phantom pointers):
+    scripts/check_docs.py must pass against the newest BENCH_r*.json."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "check_docs",
+        Path(__file__).resolve().parent.parent / "scripts" / "check_docs.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main() == 0

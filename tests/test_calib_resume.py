@@ -83,3 +83,52 @@ def test_crash_and_resume(tmp_path, monkeypatch):
         for ln in unit.layer_names:
             assert "alpha" in qstate[ln]["w"], ln
             assert "a" in qstate[ln], ln
+
+def test_bf16_alpha_storage(tmp_path):
+    """alpha_dtype='bfloat16' (the SD-scale HBM-residency mode): alphas are
+    STORED bf16 end to end — engine output, npz snapshot round-trip — while
+    the optimization still moves them (f32 accumulation inside the runner),
+    and the calibrated quantized forward stays close to the f32-alpha
+    calibration."""
+    model, params, xs, ts, cfg = _setup()
+    cfg16 = engine_mod.CalibConfig(
+        weight=cfg.weight, act=cfg.act, quant_act=True,
+        capture_batch=cfg.capture_batch, act_init_batch=cfg.act_init_batch,
+        ckpt_every=2, alpha_dtype="bfloat16")
+
+    ckptr = CalibCheckpointer(tmp_path)
+    q16 = calibrate(model, params, (xs, ts), cfg16,
+                    rng=jax.random.PRNGKey(1), checkpointer=ckptr)
+    q32 = calibrate(model, params, (xs, ts),
+                    engine_mod.CalibConfig(
+                        weight=cfg.weight, act=cfg.act, quant_act=True,
+                        capture_batch=cfg.capture_batch,
+                        act_init_batch=cfg.act_init_batch),
+                    rng=jax.random.PRNGKey(1))
+
+    from qdiffusion_tpu.utils.checkpoints import load_qstate
+    reloaded = load_qstate(tmp_path / "qstate.npz")
+    for unit in model.units:
+        for ln in unit.layer_names:
+            a16 = q16[ln]["w"]["alpha"]
+            assert a16.dtype == jnp.bfloat16, ln
+            assert reloaded[ln]["w"]["alpha"].dtype == jnp.bfloat16, ln
+            np.testing.assert_array_equal(np.asarray(a16),
+                                          np.asarray(reloaded[ln]["w"]["alpha"]))
+            a32 = np.asarray(jnp.asarray(
+                q32[ln]["w"]["alpha"], dtype=jnp.float32))
+            # hard-rounding masks agree between the two calibrations up to
+            # alphas that genuinely straddle zero
+            m16 = np.asarray(a16, dtype=np.float32) >= 0
+            assert (m16 == (a32 >= 0)).mean() > 0.98, ln
+
+    # quantized forward with bf16-stored alphas tracks the f32 calibration
+    from qdiffusion_tpu.quant.context import QuantCtx, QuantMode
+
+    def fwd(q):
+        ctx = QuantCtx(q, mode=QuantMode(w=True, a=True, soft=False))
+        return model.apply(params, xs[:2], ts[:2], ctx)
+
+    y16, y32 = fwd(q16), fwd(q32)
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=0.05, atol=5e-3)

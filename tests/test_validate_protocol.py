@@ -39,6 +39,13 @@ from test_cli import TINY_TASK
 
 torch = pytest.importorskip("torch")
 
+# Full tier: each step is a fresh subprocess that re-pays the jax+torch
+# import and its CPU compiles (minutes per test on the 1-core box) — with
+# test_fullsize_parity these two files are what pushed the round-4 suite
+# to ~1.6 h. Fast tier (default run) covers the same CLI surface
+# in-process via test_cli.py / test_cli_sd.py.
+pytestmark = pytest.mark.fullsize
+
 TESTS_DIR = Path(__file__).resolve().parent
 
 # Registers the tiny test preset (same as the tiny_preset fixture) in the
