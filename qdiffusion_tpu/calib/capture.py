@@ -113,11 +113,14 @@ class GroupedCapture:
       * asym inputs (utils.py:235-243 — prefix weight-quantized with
         already-reconstructed units hard-rounded) still require per-unit
         sweeps, because unit j's input depends on the recon of units < j.
-        The group program is REUSED for every unit in the group: qstate is
-        a jit argument, so re-running it after each recon yields unit
-        j's input with the correct prefix — zero recompiles.
+        Each unit gets its OWN program capturing only itself (qstate is a
+        jit argument, so re-running after each recon yields unit j's
+        input with the correct prefix — zero recompiles per run): the
+        forward truncates at unit j and no sibling's full-set buffer is
+        materialized, which is what keeps the 64x64 SD decoder groups
+        inside 16 GB HBM (see _get_q).
 
-    Group size is planned by bytes: a group's full-set captures live on
+    Group size is planned by bytes: a group's full-set FP captures live on
     device while its units reconstruct, so consecutive units are packed
     until the estimated footprint (jax.eval_shape, no compute) exceeds
     `group_bytes`.
@@ -173,11 +176,21 @@ class GroupedCapture:
                 names, QuantMode.off(), True)
         return self._fp_jit[names]
 
-    def _get_q(self, names: Tuple[str, ...], act_quant: bool):
-        key = (names, act_quant)
+    def _get_q(self, name: str, act_quant: bool):
+        """Per-UNIT quantized-prefix sweep (contrast the grouped FP sweep):
+        capturing only `name` lets XLA truncate the forward at the unit
+        AND drop every other unit's capture buffer from the program
+        outputs. The grouped variant materialized the whole group's
+        full-calibration-set input buffers on every call — at SD scale
+        the 64x64 decoder groups are ~2 GB/unit, and that transient next
+        to params + alphas + the group's FP outputs OOM'd the 16 GB v5e
+        at unit 68/80 (runs/logs_r5_sd/calibrate_r5.log). The cost is one
+        compile per unit instead of per group; the compile cache and the
+        truncated (therefore smaller) programs largely pay it back."""
+        key = (name, act_quant)
         if key not in self._q_jit:
             self._q_jit[key] = self._make_sweep(
-                names, QuantMode(w=True, a=act_quant, soft=False), False)
+                (name,), QuantMode(w=True, a=act_quant, soft=False), False)
         return self._q_jit[key]
 
     def _batched(self, xs, ts, cs):
@@ -243,14 +256,16 @@ class GroupedCapture:
 
     def lower_sweeps(self, group: Tuple[str, ...], params, qstate, xs, ts,
                      cs=None, *, fp: bool = True,
-                     quant_act: Optional[bool] = None) -> list:
+                     quant_act: Optional[bool] = None,
+                     q_names: Optional[Sequence[str]] = None) -> list:
         """AOT-lower this group's sweep programs (FP capture and, when
-        quant_act is not None, the asym quantized-prefix capture with
-        act_quant=quant_act) for background compilation; returns jax
-        `Lowered` objects. Compiling them populates the same jit caches
-        fp_capture/quant_capture hit. qstate must already have its final
-        pytree structure for the quantized mode (post alpha pre-init /
-        act init)."""
+        quant_act is not None, the per-unit asym quantized-prefix
+        captures with act_quant=quant_act — one program per unit in
+        `q_names`, default the whole group) for background compilation;
+        returns jax `Lowered` objects. Compiling them populates the same
+        jit caches fp_capture/quant_capture hit. qstate must already have
+        its final pytree structure for the quantized mode (post alpha
+        pre-init / act init)."""
         x, t, c = self._batched(xs, ts, cs)
 
         def spec(tree):
@@ -264,8 +279,10 @@ class GroupedCapture:
         if fp:
             out.append(self._get_fp(group).lower(p_s, {}, x_s, t_s, c_s))
         if quant_act is not None:
-            out.append(self._get_q(group, quant_act).lower(
-                p_s, spec(qstate), x_s, t_s, c_s))
+            q_s = spec(qstate)
+            for name in (group if q_names is None else q_names):
+                out.append(self._get_q(name, quant_act).lower(
+                    p_s, q_s, x_s, t_s, c_s))
         return out
 
     def fp_capture(self, params, group: Tuple[str, ...], xs, ts, cs=None):
@@ -274,14 +291,12 @@ class GroupedCapture:
         x, t, c = self._batched(xs, ts, cs)
         return self._get_fp(group)(params, {}, x, t, c)
 
-    def quant_capture(self, params, qstate, group: Tuple[str, ...],
-                      name: str, xs, ts, cs=None, *,
+    def quant_capture(self, params, qstate, name: str, xs, ts, cs=None, *,
                       act_quant: bool = False):
         """ONE dispatch with the quantized prefix (current qstate),
-        returning `name`'s inputs — the group program is reused for every
-        unit in the group (qstate is an argument), so re-running it after
-        each unit's recon yields the next unit's asym input with zero
-        recompiles. The other units' capture buffers are dropped on
-        return."""
+        returning `name`'s inputs. qstate is a jit argument, so re-running
+        after each unit's recon yields the next unit's asym input with
+        zero recompiles; the program captures ONLY `name`, so no other
+        unit's buffer is ever materialized (see _get_q)."""
         x, t, c = self._batched(xs, ts, cs)
-        return self._get_q(group, act_quant)(params, qstate, x, t, c)[name]
+        return self._get_q(name, act_quant)(params, qstate, x, t, c)[name]

@@ -187,11 +187,14 @@ def _precompile(model, params, qstate, names, unit_by_name, gc, groups,
     xs, ts, cs = cali
     inline = jax.default_backend() == "cpu"
     t0 = time.time()
+    remaining = set(names)
     lowered = []
     for group in groups:
+        q_names = [n for n in group if n in remaining]
         lowered += gc.lower_sweeps(
             group, params, qstate, xs, ts, cs, fp=True,
-            quant_act=False if (not act_quant and cfg.asym) else None)
+            quant_act=False if (not act_quant and cfg.asym) else None,
+            q_names=q_names)
     shapes = gc.unit_shapes(names, params, xs, ts, cs)
 
     def _runner_lowereds():
@@ -328,9 +331,15 @@ def calibrate(
         w_groups = _plan(w_names)
         if (cfg.precompile and gc is not None and w_names
                 and cfg.weight.opt_mode == "mse"):
-            _precompile(model, params, qstate, w_names, unit_by_name, gc,
-                        w_groups, cfg.weight, cfg,
-                        (cali_xs, cali_ts, cali_cs), act_quant=False)
+            # on resume, only lower/compile what the loop will still run
+            rem = [n for n in w_names if unit_by_name[n][0] >= start_idx]
+            rem_groups = [g for g in w_groups
+                          if any(unit_by_name[n][0] >= start_idx for n in g)]
+            if rem:
+                _precompile(model, params, qstate, rem, unit_by_name, gc,
+                            rem_groups, cfg.weight, cfg,
+                            (cali_xs, cali_ts, cali_cs), act_quant=False)
+        save_due = False
         for group in w_groups:
             if all(unit_by_name[n][0] < start_idx for n in group):
                 continue
@@ -344,15 +353,22 @@ def calibrate(
                 # (part of the SD-scale residency that OOM'd the v5e,
                 # runs/logs_r4_sd + logs_r5_sd first attempt).
                 fp = {n: (None, out) for n, (inp, out) in fp.items()}
+            inps = out = grads = None
             for name in group:
                 k, unit = unit_by_name[name]
                 if k < start_idx:
                     continue
                 t0 = time.time()
                 if gc is not None:
+                    # free the previous unit's full-set buffers BEFORE the
+                    # next capture dispatch: at the 64x64 SD decoder tail
+                    # one unit's inputs are ~2 GB, and holding them across
+                    # the sweep was part of the unit-68 OOM
+                    # (runs/logs_r5_sd/calibrate_r5.log)
+                    inps = out = grads = None
                     out = fp[name][1]
                     inps = (gc.quant_capture(
-                        params, qstate, group, name, cali_xs, cali_ts,
+                        params, qstate, name, cali_xs, cali_ts,
                         cali_cs, act_quant=False)
                         if cfg.asym else fp[name][0])
                 else:
@@ -394,10 +410,26 @@ def calibrate(
                                 time.time() - t0)
                 if checkpointer is not None and \
                         (k + 1) % cfg.ckpt_every == 0:
-                    checkpointer.save(qstate, "weight", k,
-                                      sites=sorted(pending_sites))
-                    pending_sites.clear()
+                    # drop this unit's capture buffers before the pull —
+                    # the snapshot's device-side pack allocates next to
+                    # whatever is still resident (unit-72 increment OOM,
+                    # runs/logs_r5_sd/calibrate_r5_resume.log)
+                    inps = out = grads = None
+                    if checkpointer.save(qstate, "weight", k,
+                                         sites=sorted(pending_sites)):
+                        pending_sites.clear()
+                    else:
+                        save_due = True
+            inps = out = grads = None
             del fp
+            if checkpointer is not None and save_due:
+                # deferred snapshot: retry now that the group's capture
+                # buffers are freed (the save itself is best-effort and
+                # keeps pending sites on a further failure)
+                if checkpointer.save(qstate, "weight", k,
+                                     sites=sorted(pending_sites)):
+                    pending_sites.clear()
+                    save_due = False
     if start_phase == "weight":
         start_idx = 0
         if cfg.pipeline and checkpointer is None:
@@ -424,7 +456,8 @@ def calibrate(
 
         if cfg.running_stat:
             qstate = run_running_stat(model, params, qstate, cali_xs, cali_ts,
-                                      cali_cs, sm_only=cfg.rs_sm_only)
+                                      cali_cs, batch=cfg.act_init_batch,
+                                      sm_only=cfg.rs_sm_only)
             logger.info("running-stat EMA sweep done")
         start_idx = 0
         if checkpointer is not None:
@@ -445,6 +478,7 @@ def calibrate(
         _precompile(model, params, qstate, a_names, unit_by_name, gc,
                     a_groups, cfg.act, cfg, (cali_xs, cali_ts, cali_cs),
                     act_quant=True)
+    save_due = False
     for group in a_groups:
         if all(unit_by_name[n][0] < start_idx for n in group):
             continue
@@ -484,10 +518,19 @@ def calibrate(
             pending_sites.update(unit.layer_names)
             pending_sites.add(unit.name)
             if checkpointer is not None and (k + 1) % cfg.ckpt_every == 0:
-                checkpointer.save(qstate, "act", k,
-                                  sites=sorted(pending_sites))
-                pending_sites.clear()
+                inps = out = grads = None
+                if checkpointer.save(qstate, "act", k,
+                                     sites=sorted(pending_sites)):
+                    pending_sites.clear()
+                else:
+                    save_due = True
+        inps = out = grads = None
         del fp
+        if checkpointer is not None and save_due:
+            if checkpointer.save(qstate, "act", k,
+                                 sites=sorted(pending_sites)):
+                pending_sites.clear()
+                save_due = False
 
     if checkpointer is not None:
         checkpointer.finalize(qstate)

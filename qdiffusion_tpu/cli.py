@@ -255,9 +255,11 @@ def cmd_calibrate(args):
         cali_iters_a=args.cali_iters_a, cali_lr=args.cali_lr,
         cali_p=args.cali_p, precompile=args.precompile,
         alpha_dtype=args.alpha_dtype,
-        capture_group_bytes=int(args.capture_group_mb) << 20)
+        capture_group_bytes=int(args.capture_group_mb) << 20,
+        act_init_batch=args.act_init_batch)
     task = resolve_task(args)
-    run_dir = setup_run_dir(args.logdir, f"calib-{task.name}")
+    run_dir = setup_run_dir(args.logdir, f"calib-{task.name}",
+                            path=args.run_dir)
     dump_config(run_dir, {"task": task, "quant": qflags, "argv": sys.argv})
 
     model, pipe = build_model_and_pipeline(task, qflags, args.quant_act)
@@ -726,10 +728,18 @@ def main(argv=None):
                          "the weight-sized alpha tree's HBM residency "
                          "(required headroom for SD-scale calibration on "
                          "a 16 GB chip) — optimization still runs in f32")
+    sp.add_argument("--act-init-batch", type=int, default=64,
+                    help="act scale-init / running-stat sweep batch "
+                         "(reference 64; cap it at SD scale — a batch-64 "
+                         "full forward's activation peak vs 16 GB HBM)")
     sp.add_argument("--precompile", type=int, default=1, metavar="N",
                     help="AOT-compile recon runners + capture sweeps on N "
                          "background threads before each unit loop (0=off)")
     sp.add_argument("--logdir", default="logs")
+    sp.add_argument("--run-dir", default=None,
+                    help="reuse an EXISTING run directory: resumes from "
+                         "its calib_progress.json checkpoint (reference "
+                         "mid-calibration temp ckpts, txt2img.py:422-428)")
     sp.add_argument("--seed", type=int, default=1234)
     sp.set_defaults(fn=cmd_calibrate)
 

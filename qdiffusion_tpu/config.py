@@ -66,6 +66,9 @@ class QuantFlags:
     # calib.engine.CalibConfig.alpha_dtype)
     capture_group_bytes: int = 3 << 30  # grouped-capture residency cap
     # (smaller = more groups = more compiles but lower HBM peak)
+    act_init_batch: int = 64  # act scale-init / running-stat sweep batch
+    # (reference uses 64, sample_diffusion_ddim.py:203-208; at SD scale a
+    # batch-64 full forward's activation peak needs capping on 16 GB)
 
     def policy_ddim(self) -> QuantPolicy:
         """CIFAR policy: 'max' scale methods (sample_diffusion_ddim.py:129-139)."""
@@ -99,7 +102,8 @@ class QuantFlags:
             quant_act=self.quant_act, running_stat=self.running_stat,
             rs_sm_only=self.rs_sm_only, sm_abit=self.sm_abit,
             precompile=self.precompile, alpha_dtype=self.alpha_dtype,
-            capture_group_bytes=self.capture_group_bytes)
+            capture_group_bytes=self.capture_group_bytes,
+            act_init_batch=self.act_init_batch)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -106,7 +106,14 @@ def tree_to_host_packed(tree, max_chunk_bytes: int = 256 << 20):
     AdaRound alphas) allocates the whole packed copy NEXT TO params +
     capture buffers and OOM'd the 16 GB v5e mid-calibration
     (runs/logs_r4_sd/calibrate.log). Chunking bounds the spike while
-    keeping transfers O(total/chunk) instead of O(leaves)."""
+    keeping transfers O(total/chunk) instead of O(leaves).
+
+    The packed path still needs ONE device-side allocation per chunk; at
+    peak calibration residency even that can fail (the unit-72 increment
+    save, runs/logs_r5_sd/calibrate_r5_resume.log). On RESOURCE_EXHAUSTED
+    the affected chunk falls back to per-leaf pulls — a plain D2H read
+    per array, zero device allocation — so a checkpoint can always be
+    written no matter how full HBM is; only its wall time degrades."""
     import jax
     import jax.numpy as jnp
 
@@ -133,8 +140,19 @@ def tree_to_host_packed(tree, max_chunk_bytes: int = 256 << 20):
         if cur:
             chunks.append(cur)
         for chunk in chunks:
-            packed = np.asarray(jnp.concatenate(
-                [jnp.ravel(jnp.asarray(leaves[i])) for i in chunk]))
+            try:
+                packed = np.asarray(jnp.concatenate(
+                    [jnp.ravel(jnp.asarray(leaves[i])) for i in chunk]))
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                logger.warning(
+                    "packed checkpoint pull hit RESOURCE_EXHAUSTED "
+                    "(%d leaves); falling back to per-leaf transfers",
+                    len(chunk))
+                for i in chunk:
+                    host_leaves[i] = np.asarray(leaves[i])
+                continue
             off = 0
             for i in chunk:
                 shape = np.shape(leaves[i])
@@ -225,9 +243,19 @@ class CalibCheckpointer:
         return qstate, progress
 
     def save(self, qstate: dict, phase: str, unit_idx: int,
-             sites=None) -> None:
+             sites=None) -> bool:
         """`sites`: names changed since the previous save; None forces a
         full base snapshot (also forced when no base exists yet).
+
+        BEST-EFFORT: returns False (and leaves checkpoint state
+        untouched) when the device pull hits RESOURCE_EXHAUSTED — at
+        peak SD-scale residency even a per-leaf D2H read can need an
+        on-device staging buffer that isn't there (unit-72 increment,
+        runs/logs_r5_sd/calibrate_r5_resume2.log). A snapshot must never
+        kill the run it exists to protect; the engine keeps the pending
+        sites and retries at the next buffer-free point (group
+        boundary). save_qstate pulls before writing any file, so a
+        failed save leaves no partial artifacts.
 
         A full base pulls the ENTIRE qstate to host — at SD scale the
         AdaRound alpha tree is weight-sized (~3.4 GB f32 for the 860M
@@ -244,20 +272,30 @@ class CalibCheckpointer:
         order left a marker whose n_inc pointed at deleted files, so the
         very crash this checkpointer exists for (e.g. an OOM kill)
         broke the subsequent load()."""
-        if self._n_inc is None or sites is None:
-            save_qstate(self.dir / "qstate_wip.npz", qstate)
-            self._n_inc = 0
-            self.marker.write_text(json.dumps(
-                {"phase": phase, "unit_idx": unit_idx, "n_inc": 0}))
-            for p in self.dir.glob("qstate_inc_*.npz"):
-                p.unlink()
-        else:
-            delta = {s: qstate[s] for s in sites if s in qstate}
-            save_qstate(self._inc_path(self._n_inc), delta)
-            self._n_inc += 1
-            self.marker.write_text(json.dumps(
-                {"phase": phase, "unit_idx": unit_idx,
-                 "n_inc": self._n_inc}))
+        try:
+            if self._n_inc is None or sites is None:
+                save_qstate(self.dir / "qstate_wip.npz", qstate)
+                self._n_inc = 0
+                self.marker.write_text(json.dumps(
+                    {"phase": phase, "unit_idx": unit_idx, "n_inc": 0}))
+                for p in self.dir.glob("qstate_inc_*.npz"):
+                    p.unlink()
+            else:
+                delta = {s: qstate[s] for s in sites if s in qstate}
+                save_qstate(self._inc_path(self._n_inc), delta)
+                self._n_inc += 1
+                self.marker.write_text(json.dumps(
+                    {"phase": phase, "unit_idx": unit_idx,
+                     "n_inc": self._n_inc}))
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            logger.warning(
+                "qstate snapshot at %s unit %d deferred: device pull hit "
+                "RESOURCE_EXHAUSTED; will retry at the next buffer-free "
+                "point", phase, unit_idx)
+            return False
+        return True
 
     def finalize(self, qstate: dict) -> None:
         save_qstate(self.dir / "qstate.npz", qstate)

@@ -14,8 +14,12 @@ from pathlib import Path
 logger = logging.getLogger(__name__)
 
 
-def setup_run_dir(base: str, tag: str = "run") -> Path:
-    run_dir = Path(base) / f"{tag}-{datetime.now():%Y-%m-%d-%H-%M-%S}"
+def setup_run_dir(base: str, tag: str = "run", path=None) -> Path:
+    """`path` pins an EXACT run directory (calibration crash-resume: the
+    CalibCheckpointer snapshots live in the original run dir, so resuming
+    must reuse it — reference temp-ckpt reuse, txt2img.py:422-428)."""
+    run_dir = (Path(path) if path
+               else Path(base) / f"{tag}-{datetime.now():%Y-%m-%d-%H-%M-%S}")
     run_dir.mkdir(parents=True, exist_ok=True)
     handler = logging.FileHandler(run_dir / "run.log")
     handler.setFormatter(logging.Formatter(

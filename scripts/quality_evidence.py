@@ -25,6 +25,10 @@ in-environment:
 Prints one JSON line:
   {"fid_fp": ..., "fid_naive": ..., "fid_calib": ..., "recovered_frac":
    (fid_naive - fid_calib) / (fid_naive - fid_fp), ...}
+With --act it adds the W{bits}A8 arm (the reference's headline configs
+quantize activations too, README.md:41-61): fid_naive_a8 (first-batch
+act scale init) vs fid_calib_a8 (act-delta reconstruction + running-stat
+EMA sweep), plus recovered_frac_a8.
 
 recovered_frac > 0 is the first in-env demonstration that calibration
 improves OUTPUT quality (test_calibration.py only shows block error
@@ -49,6 +53,7 @@ import numpy as np
 import optax
 
 from qdiffusion_tpu.calib.engine import (CalibConfig, calibrate,
+                                         init_act_qstate,
                                          init_weight_qstate)
 from qdiffusion_tpu.calib.recon import ReconConfig
 from qdiffusion_tpu.calib.samples import get_train_samples
@@ -137,11 +142,12 @@ def train(model, params, *, steps: int, batch: int = 128, lr: float = 2e-3,
 # ---------------------------------------------------------------- sampling
 
 
-def make_gen(model, seq, n: int, quantized: bool, trajectory: bool = False):
+def make_gen(model, seq, n: int, quantized: bool, trajectory: bool = False,
+             act: bool = False):
     @partial(jax.jit, static_argnums=())
     def gen(params, qstate, noise, key):
         def model_fn(x, t):
-            ctx = (QuantCtx(qstate, mode=QuantMode(w=True, a=False))
+            ctx = (QuantCtx(qstate, mode=QuantMode(w=True, a=act))
                    if quantized else QuantCtx())
             return model.apply(params, x, t, ctx)
 
@@ -182,7 +188,8 @@ def extract_features(fps, imgs):
 
 def run_protocol(*, train_steps: int, n_samples: int, recon_iters: int,
                  bits: int, sample_steps: int = 100, cali_n: int = 64,
-                 cali_st: int = 8, seed: int = 0, log=print):
+                 cali_st: int = 8, seed: int = 0, log=print,
+                 act_quant: bool = False, recon_iters_a: int = None):
     policy = QuantPolicy(
         wq=AffineQuantizerSpec(n_bits=bits, channel_wise=True,
                                channel_axis=-1, scale_method="max"),
@@ -228,18 +235,51 @@ def run_protocol(*, train_steps: int, n_samples: int, recon_iters: int,
     log("sampling calibrated-W%d" % bits)
     x_calib, _ = gen_q(params, qstate_calib, noise, gen_key)
 
+    score_sets = [("fp", x_fp), ("naive", x_naive), ("calib", x_calib)]
+
+    if act_quant:
+        # W{bits}A8 arm — the reference's headline configs quantize
+        # activations too, with running stats (README.md:41-61;
+        # set_running_stat, qdiff/quant_model.py:71-87). Naive = nearest
+        # weights + first-batch act scale init (the reference's
+        # uncalibrated init, sample_diffusion_ddim.py:203-208); calib =
+        # the full engine path (AdaRound weight pass + act-delta
+        # reconstruction + EMA running-stat sweep).
+        n_init = min(64, cali_xs.shape[0])
+        log("quantizing acts: naive first-batch init (W%dA8)" % bits)
+        q_naive_a = init_act_qstate(model, params, qstate_naive,
+                                    cali_xs[:n_init], cali_ts[:n_init])
+        iters_a = recon_iters_a or max(recon_iters // 4, 1)
+        log(f"quantizing acts: full W{bits}A8 calibration "
+            f"({recon_iters} w-iters + {iters_a} a-iters/unit + "
+            "running stats)")
+        ccfg_a = CalibConfig(weight=ReconConfig(iters=recon_iters, p=2.0),
+                             act=ReconConfig(iters=iters_a, p=2.0),
+                             quant_act=True, running_stat=True,
+                             capture_batch=32)
+        t0 = time.time()
+        q_calib_a = calibrate(model, params, (cali_xs, cali_ts), ccfg_a,
+                              rng=jax.random.PRNGKey(seed + 3))
+        log(f"  W{bits}A8 calibration done in {time.time() - t0:.0f}s")
+        gen_qa = make_gen(model, seq, n_samples, quantized=True, act=True)
+        log("sampling naive-W%dA8" % bits)
+        x_naive_a, _ = gen_qa(params, q_naive_a, noise, gen_key)
+        log("sampling calibrated-W%dA8" % bits)
+        x_calib_a, _ = gen_qa(params, q_calib_a, noise, gen_key)
+        score_sets += [("naive_a8", x_naive_a), ("calib_a8", x_calib_a)]
+
     log("scoring FID over fixture features")
     fps = feature_params(jax.random.PRNGKey(seed + 4))
     real = synth_batch(jax.random.PRNGKey(seed + 5), max(n_samples, 2048))
     f_real = np.asarray(extract_features(fps, real))
     fids = {}
-    for tag, x in [("fp", x_fp), ("naive", x_naive), ("calib", x_calib)]:
+    for tag, x in score_sets:
         f = np.asarray(extract_features(fps, jnp.clip(x, -1.0, 1.0)))
         fids[tag] = float(fid_from_features(f, f_real))
         log(f"  fid_{tag} = {fids[tag]:.4f}")
     gap = fids["naive"] - fids["fp"]
     recovered = (fids["naive"] - fids["calib"]) / gap if gap > 0 else 0.0
-    return {
+    out = {
         "metric": "quality_evidence_fid",
         "bits": bits,
         "train_steps": train_steps,
@@ -250,6 +290,17 @@ def run_protocol(*, train_steps: int, n_samples: int, recon_iters: int,
         "fid_calib": round(fids["calib"], 4),
         "recovered_frac": round(recovered, 4),
     }
+    if act_quant:
+        gap_a = fids["naive_a8"] - fids["fp"]
+        rec_a = ((fids["naive_a8"] - fids["calib_a8"]) / gap_a
+                 if gap_a > 0 else 0.0)
+        out.update({
+            "recon_iters_a": iters_a,
+            "fid_naive_a8": round(fids["naive_a8"], 4),
+            "fid_calib_a8": round(fids["calib_a8"], 4),
+            "recovered_frac_a8": round(rec_a, 4),
+        })
+    return out
 
 
 def main():
@@ -260,13 +311,17 @@ def main():
     ap.add_argument("--train-steps", type=int, default=None)
     ap.add_argument("--samples", type=int, default=None)
     ap.add_argument("--recon-iters", type=int, default=None)
+    ap.add_argument("--act", action="store_true",
+                    help="add the W{bits}A8 arm (naive first-batch act "
+                         "init vs full act-recon + running-stat "
+                         "calibration)")
     args = ap.parse_args()
 
     steps = args.train_steps or (1500 if args.fast else 6000)
     n = args.samples or (256 if args.fast else 1024)
     iters = args.recon_iters or (500 if args.fast else 3000)
     out = run_protocol(train_steps=steps, n_samples=n, recon_iters=iters,
-                       bits=args.bits)
+                       bits=args.bits, act_quant=args.act)
     print(json.dumps(out))
 
 

@@ -3,6 +3,8 @@
 # txt2img.py:369-490). Round-5 invocation: same quant config as round 4
 # (W4A8, sm16, split, running-stat, reduced iters 250/50) plus the
 # residency fixes' flags. Cold cache dir unless CACHE= is overridden.
+# RUN_DIR= resumes a crashed run from its calib_progress.json snapshot
+# (reference temp-ckpt behavior, txt2img.py:422-428).
 set -u
 cd /root/repo
 CACHE=${CACHE:-runs/xla_cache_sd_r5}
@@ -19,6 +21,8 @@ mkdir -p "$LOGDIR"
     --cali-iters 250 --cali-iters-a 50 \
     --precompile 4 \
     --alpha-dtype bfloat16 \
-    --capture-group-mb "${GROUP_MB:-3072}" \
+    --capture-group-mb "${GROUP_MB:-2048}" \
+    --act-init-batch "${ACT_INIT_BATCH:-4}" \
+    ${RUN_DIR:+--run-dir "$RUN_DIR"} \
     --logdir "$LOGDIR" ; } >"$LOG" 2>&1
 echo "EXIT=$?" >> "$LOG"

@@ -61,7 +61,7 @@ def test_quant_capture_matches_per_unit(setup):
         inps_ref, _ = capture_unit_io(
             model, params, qstate, name, xs, ts, asym=True,
             act_quant=False, batch_size=4)
-        inps = gc.quant_capture(params, qstate, names, name, xs, ts,
+        inps = gc.quant_capture(params, qstate, name, xs, ts,
                                 act_quant=False)
         for a, b in zip(inps, inps_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -45,7 +45,7 @@ _SPEC.loader.exec_module(qe)
 def test_calibrated_w4_beats_naive_w4_on_fid():
     out = qe.run_protocol(train_steps=2500, n_samples=384, recon_iters=1000,
                           bits=4, sample_steps=50, cali_n=48, cali_st=5,
-                          seed=0, log=lambda *a: None)
+                          seed=0, log=lambda *a: None, act_quant=True)
     # sanity: the model learned something (FP close to the data) and 4-bit
     # nearest rounding measurably hurts (chip run: fp 0.14, naive 1.84)
     assert out["fid_naive"] > 3 * out["fid_fp"], out
@@ -54,3 +54,9 @@ def test_calibrated_w4_beats_naive_w4_on_fid():
     # to transfer across backends' numerics)
     assert out["fid_calib"] < out["fid_naive"] * 0.5, out
     assert out["recovered_frac"] > 0.4, out
+    # W4A8 arm (the reference's headline config shape): the fully
+    # calibrated act-quant model must beat the naive W4A8 init and stay
+    # in the same quality regime as calibrated weight-only (chip round-5
+    # run: docs/E2E_RUN.md quality-evidence table)
+    assert out["fid_calib_a8"] < out["fid_naive_a8"], out
+    assert out["fid_calib_a8"] < out["fid_naive"] * 0.6, out
