@@ -411,6 +411,19 @@ def cmd_sample(args):
         if task.family == "sd" else (None, None)
 
     out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    # resolved-config dump next to the outputs (reference behavior:
+    # sampling_config.yaml written into the logdir,
+    # sample_diffusion_ldm.py:Sample logdir setup)
+    from qdiffusion_tpu.utils.run_logging import dump_config
+
+    dump_config(out_dir, {
+        "task": task,
+        "quant": {"qstate": args.qstate, "engine": args.engine,
+                  "weight_bit": args.weight_bit, "quant_act": args.quant_act,
+                  "act_bit": args.act_bit, "sm_abit": args.sm_abit,
+                  "split": args.split, "dtype": getattr(args, "dtype", None)},
+        "argv": sys.argv})
     rng = jax.random.PRNGKey(args.seed)
     batch = args.batch
     n_dev = len(jax.devices())
