@@ -73,11 +73,15 @@ class CalibConfig:
     # `precompile` background thread(s) before the unit loop starts. The
     # loop then runs compile-free: host tracing (10-20s per distinct
     # structure on this single-core box) overlaps the remote XLA compiles
-    # (20-40s each), and with >1 thread the compiles overlap each other —
-    # the residual cold-calibration wall was ~30 such compiles serialized
-    # (docs/E2E_RUN.md round-3 table). 0 = off. Requires grouped_capture
-    # and mse opt_mode (fisher capture shapes are data-dependent).
-    precompile: int = 1
+    # (20-40s each), and with >1 thread the compiles overlap each other:
+    # the remote compile server runs concurrent compiles at a measured
+    # 2.61x wall speedup with flat per-compile times (the round-5 1-vs-4
+    # A/B, docs/E2E_RUN.md precompile thread-count study) — hence the
+    # default of 4. The residual cold-calibration wall was ~30 such
+    # compiles serialized (round-3 table). 0 = off. Requires
+    # grouped_capture and mse opt_mode (fisher capture shapes are
+    # data-dependent).
+    precompile: int = 4
     pipeline: bool = False  # overlap unit N+1 trace/compile with unit N's
     # device execution (JAX async dispatch). The math is identical — the
     # asym capture of unit N+1 depends on unit N's reconstructed qstate

@@ -745,9 +745,12 @@ def main(argv=None):
                     help="act scale-init / running-stat sweep batch "
                          "(reference 64; cap it at SD scale — a batch-64 "
                          "full forward's activation peak vs 16 GB HBM)")
-    sp.add_argument("--precompile", type=int, default=1, metavar="N",
+    sp.add_argument("--precompile", type=int, default=4, metavar="N",
                     help="AOT-compile recon runners + capture sweeps on N "
-                         "background threads before each unit loop (0=off)")
+                         "background threads before each unit loop (0=off; "
+                         "default 4: compile/compile overlap measured 2.61x "
+                         "on the remote compile server, docs/E2E_RUN.md "
+                         "precompile thread-count study)")
     sp.add_argument("--logdir", default="logs")
     sp.add_argument("--run-dir", default=None,
                     help="reuse an EXISTING run directory: resumes from "

@@ -60,7 +60,8 @@ class QuantFlags:
     cali_iters_a: int = 5000
     cali_lr: float = 4e-4
     cali_p: float = 2.4
-    precompile: int = 1  # AOT compile threads for recon/capture programs
+    precompile: int = 4  # AOT compile threads for recon/capture programs
+    # (4: remote compile/compile overlap measured 2.61x, E2E_RUN.md study)
     alpha_dtype: str = "float32"  # AdaRound alpha storage dtype
     # ('bfloat16' halves the weight-sized alpha tree — see
     # calib.engine.CalibConfig.alpha_dtype)
